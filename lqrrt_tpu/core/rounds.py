@@ -1,0 +1,135 @@
+"""The jitted expansion round: sample -> nearest -> steer -> commit.
+
+This is the TPU-native replacement for the reference's per-iteration grow loop
+(Planner.update_plan hot loop, SURVEY.md C2 / section 3.2).  One round expands
+a whole batch of candidates end-to-end on device; the host runs rounds until
+the wall-clock budget expires, preserving the reference's anytime semantics at
+round granularity (SURVEY.md section 3.4: no mid-kernel preemption on TPU).
+
+Design notes (SURVEY.md section 7 hard parts):
+* Batch commit: every candidate with a non-empty feasible rollout becomes a
+  node, exactly like the sequential reference ("if rollout nonempty:
+  tree.add_node"); multiple children of one parent are fine, so no conflict
+  resolution is needed — only a compacting masked scatter.
+* Candidates in the same round cannot select each other as parents (they all
+  see the tree as of the round start).  This is the standard batched-RRT
+  relaxation of sequential insert ordering; golden tests compare trajectories
+  within tolerance, not node-for-node (SURVEY.md section 7).
+* Overflow: samples that would exceed capacity are dropped via scatter-drop
+  indexing; `size` saturates at capacity.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .nearest import make_nearest
+from .sampling import sample_batch
+from .steer import make_steer
+from .tree import TreeArrays
+
+
+class RoundSpec(NamedTuple):
+    """Static (trace-time) configuration of an expansion round."""
+    nstates: int
+    ncontrols: int
+    batch: int              # candidates per round
+    horizon_steps: int      # steer rollout cap H
+    capacity: int           # tree capacity N
+    dt: float
+    nn_block: int = 1024
+
+
+def make_round(spec: RoundSpec, dynamics: Callable, lqr: Callable,
+               erf: Callable, is_feasible: Callable, error_tol,
+               goal_buffer, wrap_mask=None,
+               xrand_gen: Callable | None = None,
+               saturate: Callable | None = None) -> Callable:
+    """Build the jittable round function.
+
+    round(tree, key, goal, sample_space, goal_bias, bias_target) -> TreeArrays
+
+    All callbacks are trace-time constants; changing them (e.g. swapping the
+    feasibility function, SURVEY.md C9) requires rebuilding the round.
+    ``wrap_mask``: optional (n,) bool marking angle dims to wrap when storing
+    node states (keeps the NN metric exact for angle dims).
+    """
+    nearest = make_nearest(erf, block=min(spec.nn_block, spec.capacity))
+    steer = make_steer(dynamics, erf, is_feasible, spec.horizon_steps,
+                       spec.dt, error_tol, saturate=saturate)
+    lqr_batch = jax.vmap(lqr)
+    erf_goal = jax.vmap(erf, in_axes=(None, 0))
+    goal_buffer = jnp.asarray(goal_buffer, jnp.float32)
+    if wrap_mask is not None:
+        wrap_mask = jnp.asarray(wrap_mask, bool)
+
+    def round_fn(tree: TreeArrays, key, goal, sample_space, goal_bias,
+                 bias_target) -> TreeArrays:
+        B, N = spec.batch, spec.capacity
+
+        # --- sample (C3) ---
+        if xrand_gen is None:
+            xrand = sample_batch(key, B, sample_space, goal_bias, bias_target)
+        else:
+            xrand = xrand_gen(key, B)
+
+        # --- nearest neighbor under the LQR metric (C4) ---
+        pids, _ = nearest(tree.state, tree.S, tree.size, xrand)
+        x0 = tree.state[pids]
+        K0 = tree.K[pids]
+
+        # --- steer rollouts (C5) ---
+        res = steer(x0, K0, xrand)
+
+        # --- per-candidate LQR at the new endpoint (batched Riccati) ---
+        u_last = jnp.take_along_axis(
+            res.u_seq, jnp.maximum(res.length - 1, 0)[:, None, None], axis=1
+        )[:, 0, :]
+        S_new, K_new = lqr_batch(res.xnew, u_last)
+
+        xnew = res.xnew
+        if wrap_mask is not None:
+            from ..ops.angles import wrap_angle
+            xnew = jnp.where(wrap_mask, wrap_angle(xnew), xnew)
+
+        # --- goal test (C6) + cost-to-go heuristic (C7 fallback metric) ---
+        e_goal = erf_goal(goal, xnew)                      # (B, n)
+        in_goal = jnp.all(jnp.abs(e_goal) <= goal_buffer, axis=-1)
+        gcost = jnp.einsum("bi,bij,bj->b", e_goal, S_new, e_goal)
+
+        # --- masked compacting commit (C8 insert) ---
+        valid = res.length >= 1
+        offs = jnp.cumsum(valid) - 1
+        pos = tree.size + offs
+        ok = valid & (pos < N)
+        slot = jnp.where(ok, pos, N).astype(jnp.int32)     # N => dropped
+        drop = dict(mode="drop")
+
+        node_time = tree.node_time[pids] + res.length.astype(jnp.float32) * spec.dt
+        new_size = tree.size + jnp.sum(ok, dtype=jnp.int32)
+
+        return tree._replace(
+            state=tree.state.at[slot].set(xnew, **drop),
+            S=tree.S.at[slot].set(S_new, **drop),
+            K=tree.K.at[slot].set(K_new, **drop),
+            parent=tree.parent.at[slot].set(pids.astype(jnp.int32), **drop),
+            edge_x=tree.edge_x.at[slot].set(res.x_seq, **drop),
+            edge_u=tree.edge_u.at[slot].set(res.u_seq, **drop),
+            edge_len=tree.edge_len.at[slot].set(res.length, **drop),
+            node_time=tree.node_time.at[slot].set(node_time, **drop),
+            in_goal=tree.in_goal.at[slot].set(in_goal, **drop),
+            goal_cost=tree.goal_cost.at[slot].set(gcost, **drop),
+            size=new_size,
+            goal_found=tree.goal_found | jnp.any(in_goal & ok),
+        )
+
+    return round_fn
+
+
+def jit_round(round_fn: Callable) -> Callable:
+    """Jit with tree-buffer donation: the round updates the tree in place on
+    device, avoiding a full copy of the (possibly >100 MB) SoA arrays."""
+    return jax.jit(round_fn, donate_argnums=(0,))

@@ -1,0 +1,78 @@
+"""Batched LQR steering rollouts as vmapped lax.scan.
+
+Reference: Planner._steer closed-loop simulates from the nearest node toward
+the target for up to ``horizon`` seconds at resolution dt: each step
+e = erf(xtar, x); u = K e; x = dynamics(x, u, dt); stop early on ||e|| <
+error_tol or infeasibility, truncating the rollout (SURVEY.md C5,
+lqrrt/planner.py ~L340-420).
+
+TPU re-architecture: the per-step Python loop becomes a lax.scan with a
+*static* trip count H and per-step active masking (early stopping via masks,
+not control flow), vmapped over the candidate batch (BASELINE.json: "LQR
+steer + dynamics integration -> jitted batched ... rollouts").  Variable
+length is carried as an integer, and padding steps hold the last state
+(SURVEY.md section 7 hard parts: "variable-length rollouts inside scan").
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class SteerResult(NamedTuple):
+    x_seq: jnp.ndarray    # (B, H, n) rollout states (padded with last state)
+    u_seq: jnp.ndarray    # (B, H, m) rollout efforts
+    mask: jnp.ndarray     # (B, H) bool, step validity
+    length: jnp.ndarray   # (B,) int32 valid steps
+    xnew: jnp.ndarray     # (B, n) final feasible state
+    reached: jnp.ndarray  # (B,) bool, converged to target within error_tol
+
+
+def make_steer(dynamics: Callable, erf: Callable, is_feasible: Callable,
+               horizon_steps: int, dt: float, error_tol,
+               saturate: Callable | None = None) -> Callable:
+    """Build steer(x0, K, xtar) vmapped over the leading batch axis.
+
+    ``error_tol`` may be a scalar (2-norm threshold, the reference default
+    error_tol=0.05) or a per-dim vector (elementwise |e| <= tol).
+
+    ``saturate`` optionally clamps the raw LQR effort u = K e to the actuator
+    envelope before it is applied, recorded, and feasibility-checked — the
+    reference leaves saturation to the user inside dynamics (SURVEY.md C5);
+    doing it here keeps the *recorded* efforts executable so get_effort
+    returns what the controller should actually command.
+    """
+    tol = jnp.asarray(error_tol, jnp.float32)
+    per_dim = tol.ndim > 0
+
+    def converged(e):
+        if per_dim:
+            return jnp.all(jnp.abs(e) <= tol)
+        return jnp.linalg.norm(e) <= tol
+
+    def steer_one(x0, K, xtar):
+        def step(carry, _):
+            x, done, length = carry
+            e = erf(xtar, x)
+            arrived = converged(e)
+            u = K @ e
+            if saturate is not None:
+                u = saturate(u)
+            xn = dynamics(x, u, dt)
+            feas = is_feasible(xn, u)
+            commit = jnp.logical_and(jnp.logical_not(done),
+                                     jnp.logical_and(jnp.logical_not(arrived), feas))
+            x_out = jnp.where(commit, xn, x)
+            length = length + commit.astype(jnp.int32)
+            done = done | arrived | jnp.logical_not(feas)
+            return (x_out, done, length), (x_out, u, commit)
+
+        init = (x0, jnp.bool_(False), jnp.asarray(0, jnp.int32))
+        (xf, _, length), (xs, us, mask) = jax.lax.scan(
+            step, init, None, length=horizon_steps)
+        reached = converged(erf(xtar, xf))
+        return SteerResult(xs, us, mask, length, xf, reached)
+
+    return jax.vmap(steer_one)

@@ -1,0 +1,137 @@
+"""Unit tests for sampling, nearest-neighbor, and steering primitives
+(SURVEY.md section 4: argmin-NN vs brute force, rollout vs reference
+integrator)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lqrrt_tpu.core.nearest import make_nearest, goal_cost_to_go
+from lqrrt_tpu.core.sampling import normalize_goal_bias, sample_batch
+from lqrrt_tpu.core.steer import make_steer
+from lqrrt_tpu.ops.angles import make_erf, wrap_angle
+
+
+def test_sample_batch_bounds_and_bias():
+    key = jax.random.PRNGKey(0)
+    space = jnp.array([[0.0, 1.0], [-2.0, 2.0]])
+    goal = jnp.array([0.5, 0.0])
+    xr = sample_batch(key, 4096, space, jnp.array([0.0, 0.0]), goal)
+    a = np.asarray(xr)
+    assert a[:, 0].min() >= 0.0 and a[:, 0].max() <= 1.0
+    assert a[:, 1].min() >= -2.0 and a[:, 1].max() <= 2.0
+    # full bias on dim 0 only
+    xr = sample_batch(key, 512, space, jnp.array([1.0, 0.0]), goal)
+    a = np.asarray(xr)
+    np.testing.assert_allclose(a[:, 0], 0.5, atol=1e-6)
+    assert a[:, 1].std() > 0.1
+
+
+def test_normalize_goal_bias():
+    gb = normalize_goal_bias(0.3, 4)
+    np.testing.assert_allclose(np.asarray(gb), [0.3] * 4)
+    gb = normalize_goal_bias([0.1, 0.2, 0.3, 0.4], 4)
+    np.testing.assert_allclose(np.asarray(gb), [0.1, 0.2, 0.3, 0.4])
+
+
+def test_nearest_matches_bruteforce():
+    rng = np.random.default_rng(0)
+    N, B, n = 512, 64, 4
+    states = rng.standard_normal((N, n)).astype(np.float32)
+    # random SPD metrics per node
+    A = rng.standard_normal((N, n, n)).astype(np.float32)
+    S = np.einsum("nij,nkj->nik", A, A) + 0.1 * np.eye(n, dtype=np.float32)
+    xrand = rng.standard_normal((B, n)).astype(np.float32)
+    size = 300  # only first 300 valid
+    nearest = make_nearest(jnp.subtract, block=128)
+    ids, costs = jax.jit(nearest)(jnp.array(states), jnp.array(S),
+                                  jnp.asarray(size), jnp.array(xrand))
+    e = xrand[:, None, :] - states[None, :size, :]
+    brute = np.einsum("bin,inm,bim->bi", e, S[:size], e)
+    np.testing.assert_array_equal(np.asarray(ids), brute.argmin(1))
+    np.testing.assert_allclose(np.asarray(costs), brute.min(1), rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_nearest_with_angle_wrap():
+    erf = make_erf(2, angle_dims=(1,))
+    states = jnp.array([[0.0, 3.0], [0.0, 0.0]])  # node0 angle 3 rad
+    S = jnp.stack([jnp.eye(2)] * 2)
+    nearest = make_nearest(erf, block=2)
+    # sample at angle -3: wrapped distance to 3 is ~0.28, to 0 is 3
+    ids, _ = nearest(states, S, jnp.asarray(2), jnp.array([[0.0, -3.0]]))
+    assert int(ids[0]) == 0
+
+
+def test_goal_cost_to_go():
+    states = jnp.array([[0.0, 0.0], [1.0, 0.0]])
+    S = jnp.stack([jnp.eye(2), 2 * jnp.eye(2)])
+    goal = jnp.array([2.0, 0.0])
+    c = np.asarray(goal_cost_to_go(jnp.subtract, states, S, goal))
+    np.testing.assert_allclose(c, [4.0, 2.0])
+
+
+def _di_dynamics(x, u, dt):
+    # double integrator, euler for test readability
+    return x + dt * jnp.concatenate([x[2:], u])
+
+
+def test_steer_converges_to_target():
+    n, m, H, dt = 4, 2, 200, 0.05
+    K = jnp.array([[2.0, 0.0, 2.5, 0.0], [0.0, 2.0, 0.0, 2.5]])
+    steer = make_steer(_di_dynamics, jnp.subtract,
+                       lambda x, u: jnp.bool_(True), H, dt, 0.05)
+    x0 = jnp.zeros((1, n))
+    xtar = jnp.array([[1.0, -1.0, 0.0, 0.0]])
+    res = steer(x0, K[None], xtar)
+    assert bool(res.reached[0])
+    ln = int(res.length[0])
+    assert 0 < ln <= H
+    # final state close to target
+    np.testing.assert_allclose(np.asarray(res.xnew[0]), np.asarray(xtar[0]),
+                               atol=0.06)
+    # padded steps hold the last state
+    np.testing.assert_allclose(np.asarray(res.x_seq[0, ln:]),
+                               np.tile(np.asarray(res.xnew[0]), (H - ln, 1)))
+    # mask marks exactly the first ln steps
+    np.testing.assert_array_equal(np.asarray(res.mask[0]),
+                                  [True] * ln + [False] * (H - ln))
+
+
+def test_steer_matches_numpy_rollout():
+    """Rollout vs a plain numpy reference integrator (SURVEY.md §4)."""
+    n, H, dt = 4, 30, 0.05
+    K = np.array([[1.5, 0.0, 2.0, 0.0], [0.0, 1.5, 0.0, 2.0]], np.float32)
+    steer = make_steer(_di_dynamics, jnp.subtract,
+                       lambda x, u: jnp.bool_(True), H, dt, 1e-6)
+    x0 = np.array([0.0, 0.0, 0.5, -0.5], np.float32)
+    xtar = np.array([2.0, 2.0, 0.0, 0.0], np.float32)
+    res = steer(jnp.array(x0)[None], jnp.array(K)[None], jnp.array(xtar)[None])
+    x = x0.copy()
+    for k in range(H):
+        e = xtar - x
+        u = K @ e
+        x = x + dt * np.concatenate([x[2:], u])
+        np.testing.assert_allclose(np.asarray(res.x_seq[0, k]), x, rtol=2e-4,
+                                   atol=2e-4)
+
+
+def test_steer_truncates_on_infeasible():
+    # wall at px > 0.5
+    def feas(x, u):
+        return x[0] <= 0.5
+    steer = make_steer(_di_dynamics, jnp.subtract, feas, 100, 0.05, 0.01)
+    K = jnp.array([[2.0, 0.0, 2.5, 0.0], [0.0, 2.0, 0.0, 2.5]])
+    res = steer(jnp.zeros((1, 4)), K[None],
+                jnp.array([[2.0, 0.0, 0.0, 0.0]]))
+    assert not bool(res.reached[0])
+    ln = int(res.length[0])
+    assert 0 < ln < 100
+    assert float(res.xnew[0, 0]) <= 0.5
+
+
+def test_wrap_angle():
+    np.testing.assert_allclose(float(wrap_angle(jnp.pi + 0.1)),
+                               -jnp.pi + 0.1, atol=1e-6)
+    np.testing.assert_allclose(float(wrap_angle(-jnp.pi - 0.1)),
+                               jnp.pi - 0.1, atol=1e-6)
+    np.testing.assert_allclose(float(wrap_angle(0.3)), 0.3, atol=1e-7)
