@@ -10,22 +10,24 @@ Design notes (SURVEY.md section 7 hard parts):
 * Batch commit: every candidate with a non-empty feasible rollout becomes a
   node, exactly like the sequential reference ("if rollout nonempty:
   tree.add_node"); multiple children of one parent are fine, so no conflict
-  resolution is needed — only a compacting masked scatter.
+  resolution is needed — only a compacting masked scatter (core/commit.py).
 * Candidates in the same round cannot select each other as parents (they all
   see the tree as of the round start).  This is the standard batched-RRT
   relaxation of sequential insert ordering; golden tests compare trajectories
   within tolerance, not node-for-node (SURVEY.md section 7).
-* Overflow: samples that would exceed capacity are dropped via scatter-drop
-  indexing; `size` saturates at capacity.
+
+The per-candidate compute is split out as ``make_expand`` so the multi-device
+sharded round (parallel/sharded.py) can run it on a per-device batch shard and
+commit the all-gathered results through the identical commit path.
 """
 from __future__ import annotations
 
-import functools
 from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
 
+from .commit import commit_batch
 from .nearest import make_nearest
 from .sampling import sample_batch
 from .steer import make_steer
@@ -43,19 +45,28 @@ class RoundSpec(NamedTuple):
     nn_block: int = 1024
 
 
-def make_round(spec: RoundSpec, dynamics: Callable, lqr: Callable,
-               erf: Callable, is_feasible: Callable, error_tol,
-               goal_buffer, wrap_mask=None,
-               xrand_gen: Callable | None = None,
-               saturate: Callable | None = None) -> Callable:
-    """Build the jittable round function.
+class Candidates(NamedTuple):
+    """Per-candidate expansion results, ready for commit (batch-leading)."""
+    pids: jnp.ndarray
+    length: jnp.ndarray
+    x_seq: jnp.ndarray
+    u_seq: jnp.ndarray
+    xnew: jnp.ndarray
+    S_new: jnp.ndarray
+    K_new: jnp.ndarray
+    in_goal: jnp.ndarray
+    gcost: jnp.ndarray
 
-    round(tree, key, goal, sample_space, goal_bias, bias_target) -> TreeArrays
 
-    All callbacks are trace-time constants; changing them (e.g. swapping the
-    feasibility function, SURVEY.md C9) requires rebuilding the round.
-    ``wrap_mask``: optional (n,) bool marking angle dims to wrap when storing
-    node states (keeps the NN metric exact for angle dims).
+def make_expand(spec: RoundSpec, dynamics: Callable, lqr: Callable,
+                erf: Callable, is_feasible: Callable, error_tol,
+                goal_buffer, wrap_mask=None,
+                saturate: Callable | None = None) -> Callable:
+    """Build expand(tree, xrand, goal) -> Candidates.
+
+    nearest (C4) -> steer (C5) -> endpoint LQR (batched Riccati) -> goal test
+    (C6) for an arbitrary-size candidate batch (the batch dimension is taken
+    from ``xrand``, so the same expand serves full and per-shard batches).
     """
     nearest = make_nearest(erf, block=min(spec.nn_block, spec.capacity))
     steer = make_steer(dynamics, erf, is_feasible, spec.horizon_steps,
@@ -63,19 +74,8 @@ def make_round(spec: RoundSpec, dynamics: Callable, lqr: Callable,
     lqr_batch = jax.vmap(lqr)
     erf_goal = jax.vmap(erf, in_axes=(None, 0))
     goal_buffer = jnp.asarray(goal_buffer, jnp.float32)
-    if wrap_mask is not None:
-        wrap_mask = jnp.asarray(wrap_mask, bool)
 
-    def round_fn(tree: TreeArrays, key, goal, sample_space, goal_bias,
-                 bias_target) -> TreeArrays:
-        B, N = spec.batch, spec.capacity
-
-        # --- sample (C3) ---
-        if xrand_gen is None:
-            xrand = sample_batch(key, B, sample_space, goal_bias, bias_target)
-        else:
-            xrand = xrand_gen(key, B)
-
+    def expand(tree: TreeArrays, xrand, goal) -> Candidates:
         # --- nearest neighbor under the LQR metric (C4) ---
         pids, _ = nearest(tree.state, tree.S, tree.size, xrand)
         x0 = tree.state[pids]
@@ -96,35 +96,48 @@ def make_round(spec: RoundSpec, dynamics: Callable, lqr: Callable,
             xnew = jnp.where(wrap_mask, wrap_angle(xnew), xnew)
 
         # --- goal test (C6) + cost-to-go heuristic (C7 fallback metric) ---
-        e_goal = erf_goal(goal, xnew)                      # (B, n)
+        e_goal = erf_goal(goal, xnew)
         in_goal = jnp.all(jnp.abs(e_goal) <= goal_buffer, axis=-1)
         gcost = jnp.einsum("bi,bij,bj->b", e_goal, S_new, e_goal)
 
+        return Candidates(pids=pids, length=res.length, x_seq=res.x_seq,
+                          u_seq=res.u_seq, xnew=xnew, S_new=S_new,
+                          K_new=K_new, in_goal=in_goal, gcost=gcost)
+
+    return expand
+
+
+def make_round(spec: RoundSpec, dynamics: Callable, lqr: Callable,
+               erf: Callable, is_feasible: Callable, error_tol,
+               goal_buffer, wrap_mask=None,
+               xrand_gen: Callable | None = None,
+               saturate: Callable | None = None) -> Callable:
+    """Build the jittable single-chip round function.
+
+    round(tree, key, goal, sample_space, goal_bias, bias_target) -> TreeArrays
+
+    All callbacks are trace-time constants; changing them (e.g. swapping the
+    feasibility function, SURVEY.md C9) requires rebuilding the round.
+    ``wrap_mask``: optional (n,) bool marking angle dims to wrap when storing
+    node states (keeps the NN metric exact for angle dims).
+    """
+    expand = make_expand(spec, dynamics, lqr, erf, is_feasible, error_tol,
+                         goal_buffer, wrap_mask=wrap_mask, saturate=saturate)
+
+    def round_fn(tree: TreeArrays, key, goal, sample_space, goal_bias,
+                 bias_target) -> TreeArrays:
+        # --- sample (C3) ---
+        if xrand_gen is None:
+            xrand = sample_batch(key, spec.batch, sample_space, goal_bias,
+                                 bias_target)
+        else:
+            xrand = xrand_gen(key, spec.batch)
+
+        c = expand(tree, xrand, goal)
+
         # --- masked compacting commit (C8 insert) ---
-        valid = res.length >= 1
-        offs = jnp.cumsum(valid) - 1
-        pos = tree.size + offs
-        ok = valid & (pos < N)
-        slot = jnp.where(ok, pos, N).astype(jnp.int32)     # N => dropped
-        drop = dict(mode="drop")
-
-        node_time = tree.node_time[pids] + res.length.astype(jnp.float32) * spec.dt
-        new_size = tree.size + jnp.sum(ok, dtype=jnp.int32)
-
-        return tree._replace(
-            state=tree.state.at[slot].set(xnew, **drop),
-            S=tree.S.at[slot].set(S_new, **drop),
-            K=tree.K.at[slot].set(K_new, **drop),
-            parent=tree.parent.at[slot].set(pids.astype(jnp.int32), **drop),
-            edge_x=tree.edge_x.at[slot].set(res.x_seq, **drop),
-            edge_u=tree.edge_u.at[slot].set(res.u_seq, **drop),
-            edge_len=tree.edge_len.at[slot].set(res.length, **drop),
-            node_time=tree.node_time.at[slot].set(node_time, **drop),
-            in_goal=tree.in_goal.at[slot].set(in_goal, **drop),
-            goal_cost=tree.goal_cost.at[slot].set(gcost, **drop),
-            size=new_size,
-            goal_found=tree.goal_found | jnp.any(in_goal & ok),
-        )
+        return commit_batch(tree, spec.dt, c.pids, c.length, c.x_seq, c.u_seq,
+                            c.xnew, c.S_new, c.K_new, c.in_goal, c.gcost)
 
     return round_fn
 

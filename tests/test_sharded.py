@@ -1,0 +1,134 @@
+"""Multi-device tests on the virtual 8-device CPU mesh (SURVEY.md section 4
+item 4): sharded expansion rounds (P1/P2) and fleet scenario parallelism (P4).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lqrrt_tpu.core.rounds import RoundSpec, make_round
+from lqrrt_tpu.core.tree import init_tree, best_node
+from lqrrt_tpu.models import double_integrator as di
+from lqrrt_tpu.parallel import mesh as meshlib
+from lqrrt_tpu.parallel.fleet import FleetPlanner
+from lqrrt_tpu.parallel.sharded import (jit_sharded_round, make_sharded_round,
+                                        replicate_tree)
+
+
+@pytest.fixture(scope="module")
+def prob():
+    return di.default_problem()
+
+
+def _spec(batch=64, cap=512):
+    return RoundSpec(nstates=4, ncontrols=2, batch=batch, horizon_steps=20,
+                     capacity=cap, dt=0.05, nn_block=128)
+
+
+def _seed_tree(prob, spec):
+    S0, K0 = prob["lqr"](None, None)
+    return init_tree(spec.capacity, spec.horizon_steps, 4, 2,
+                     jnp.asarray(prob["x0"]), S0, K0, 1e9, False)
+
+
+def test_sharded_round_grows_and_replicates(prob):
+    assert jax.device_count() == 8
+    m = meshlib.make_mesh(8)
+    spec = _spec()
+    rf = make_sharded_round(spec, m, prob["dynamics"], prob["lqr"],
+                            prob["erf"], prob["constraints"].is_feasible,
+                            0.05, prob["constraints"].goal_buffer,
+                            saturate=prob["saturate"])
+    rfj = jit_sharded_round(rf, m)
+    tree = replicate_tree(_seed_tree(prob, spec), m)
+    key = jax.random.PRNGKey(0)
+    gb = jnp.full((4,), 0.1)
+    goal = jnp.asarray(prob["goal"])
+    space = jnp.asarray(prob["sample_space"])
+    for i in range(3):
+        tree = rfj(tree, jax.random.fold_in(key, i), goal, space, gb, goal)
+    size = int(tree.size)
+    assert size > 1, "sharded round committed nothing"
+    # replication invariant: every leaf fully addressable, values consistent
+    st = np.asarray(tree.state)
+    assert st.shape == (spec.capacity, 4)
+    # parents of committed nodes are valid and precede them
+    parent = np.asarray(tree.parent)[:size]
+    assert parent[0] == -1
+    assert np.all(parent[1:] >= 0) and np.all(parent[1:] < size)
+
+
+def test_sharded_round_matches_singlechip_commit_semantics(prob):
+    """Same candidate set -> same tree, sharded or not: run the single-chip
+    round on the all-gathered sample batch the sharded round would draw."""
+    m = meshlib.make_mesh(8)
+    spec = _spec(batch=64)
+    common = dict(error_tol=0.05,
+                  goal_buffer=prob["constraints"].goal_buffer,
+                  saturate=prob["saturate"])
+    rf_sh = make_sharded_round(spec, m, prob["dynamics"], prob["lqr"],
+                               prob["erf"], prob["constraints"].is_feasible,
+                               common["error_tol"], common["goal_buffer"],
+                               saturate=common["saturate"])
+    tree0 = _seed_tree(prob, spec)
+    key = jax.random.PRNGKey(42)
+    gb = jnp.zeros(4)
+    goal = jnp.asarray(prob["goal"]); space = jnp.asarray(prob["sample_space"])
+    tree_sh = jax.jit(rf_sh)(replicate_tree(tree0, m), key, goal, space, gb,
+                             goal)
+
+    # reproduce the exact per-device sample batch on one chip
+    from lqrrt_tpu.core.sampling import sample_batch
+    xs = []
+    for d in range(8):
+        kd = jax.random.fold_in(key, d)
+        xs.append(sample_batch(kd, spec.batch // 8, space, gb, goal))
+    xrand = jnp.concatenate(xs, 0)
+    rf_1 = make_round(spec, prob["dynamics"], prob["lqr"], prob["erf"],
+                      prob["constraints"].is_feasible, common["error_tol"],
+                      common["goal_buffer"], saturate=common["saturate"],
+                      xrand_gen=lambda k, B: xrand)
+    tree_1 = jax.jit(rf_1)(tree0, key, goal, space, gb, goal)
+
+    assert int(tree_sh.size) == int(tree_1.size)
+    np.testing.assert_allclose(np.asarray(tree_sh.state),
+                               np.asarray(tree_1.state), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(tree_sh.parent),
+                                  np.asarray(tree_1.parent))
+
+
+def test_fleet_planner(prob):
+    m = meshlib.make_fleet_mesh(8)
+    S = 16
+    fleet = FleetPlanner(
+        prob["dynamics"], prob["lqr"], prob["erf"],
+        prob["constraints"].is_feasible, prob["constraints"].goal_buffer,
+        horizon=1.0, dt=0.05, n_scenarios=S, batch_size=32, capacity=256,
+        nn_block=128, saturate=prob["saturate"], mesh=m, seed=1)
+    rng = np.random.default_rng(0)
+    x0s = np.zeros((S, 4), np.float32)
+    x0s[:, 1] = rng.uniform(-1, 1, S)
+    goals = np.tile(np.asarray(prob["goal"]), (S, 1))
+    stats = fleet.plan(x0s, goals, prob["sample_space"],
+                       goal_bias=0.2, rounds=8)
+    assert stats["sizes"].shape == (S,)
+    assert np.all(stats["sizes"] > 1), stats["sizes"]
+    # per-scenario plan extraction works and starts at the right x0
+    plan0 = fleet.extract_plan(0)
+    np.testing.assert_allclose(plan0[0], x0s[0], atol=1e-5)
+    # scenarios are actually different trees
+    plan1 = fleet.extract_plan(1)
+    assert plan0.shape != plan1.shape or not np.allclose(plan0, plan1)
+
+
+def test_fleet_unsharded_fallback(prob):
+    fleet = FleetPlanner(
+        prob["dynamics"], prob["lqr"], prob["erf"],
+        prob["constraints"].is_feasible, prob["constraints"].goal_buffer,
+        horizon=1.0, dt=0.05, n_scenarios=4, batch_size=16, capacity=128,
+        nn_block=128, saturate=prob["saturate"], mesh=None)
+    x0s = np.zeros((4, 4), np.float32)
+    goals = np.tile(np.asarray(prob["goal"]), (4, 1))
+    stats = fleet.plan(x0s, goals, prob["sample_space"], goal_bias=0.2,
+                       rounds=4)
+    assert np.all(stats["sizes"] > 1)
