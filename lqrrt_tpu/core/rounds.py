@@ -61,14 +61,20 @@ class Candidates(NamedTuple):
 def make_expand(spec: RoundSpec, dynamics: Callable, lqr: Callable,
                 erf: Callable, is_feasible: Callable, error_tol,
                 goal_buffer, wrap_mask=None,
-                saturate: Callable | None = None) -> Callable:
+                saturate: Callable | None = None,
+                nearest_fn: Callable | None = None) -> Callable:
     """Build expand(tree, xrand, goal) -> Candidates.
 
     nearest (C4) -> steer (C5) -> endpoint LQR (batched Riccati) -> goal test
     (C6) for an arbitrary-size candidate batch (the batch dimension is taken
     from ``xrand``, so the same expand serves full and per-shard batches).
+
+    ``nearest_fn`` optionally replaces the jnp blocked NN scan (e.g. with the
+    fused Pallas kernel, ops/pallas/nn_kernel.py); same signature as
+    core.nearest.make_nearest's product.
     """
-    nearest = make_nearest(erf, block=min(spec.nn_block, spec.capacity))
+    nearest = nearest_fn if nearest_fn is not None else make_nearest(
+        erf, block=min(spec.nn_block, spec.capacity))
     steer = make_steer(dynamics, erf, is_feasible, spec.horizon_steps,
                        spec.dt, error_tol, saturate=saturate)
     lqr_batch = jax.vmap(lqr)
@@ -111,7 +117,8 @@ def make_round(spec: RoundSpec, dynamics: Callable, lqr: Callable,
                erf: Callable, is_feasible: Callable, error_tol,
                goal_buffer, wrap_mask=None,
                xrand_gen: Callable | None = None,
-               saturate: Callable | None = None) -> Callable:
+               saturate: Callable | None = None,
+               nearest_fn: Callable | None = None) -> Callable:
     """Build the jittable single-chip round function.
 
     round(tree, key, goal, sample_space, goal_bias, bias_target) -> TreeArrays
@@ -122,7 +129,8 @@ def make_round(spec: RoundSpec, dynamics: Callable, lqr: Callable,
     node states (keeps the NN metric exact for angle dims).
     """
     expand = make_expand(spec, dynamics, lqr, erf, is_feasible, error_tol,
-                         goal_buffer, wrap_mask=wrap_mask, saturate=saturate)
+                         goal_buffer, wrap_mask=wrap_mask, saturate=saturate,
+                         nearest_fn=nearest_fn)
 
     def round_fn(tree: TreeArrays, key, goal, sample_space, goal_bias,
                  bias_target) -> TreeArrays:

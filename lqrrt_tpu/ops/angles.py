@@ -27,7 +27,10 @@ def make_erf(nstates: int, angle_dims: Sequence[int] = ()):
     (SURVEY.md C1: erf default).
     """
     if not angle_dims:
-        return jnp.subtract
+        def erf(xgoal, x):
+            return xgoal - x
+        erf.angle_dims = ()       # affine-erf tag: enables the Pallas NN path
+        return erf
     # numpy constant: backend-neutral, avoids committing a device buffer at
     # import time (a remotely-attached TPU makes cross-backend closure
     # constants pathologically slow to compile against)
@@ -38,4 +41,5 @@ def make_erf(nstates: int, angle_dims: Sequence[int] = ()):
         e = xgoal - x
         return jnp.where(mask, wrap_angle(e), e)
 
+    erf.angle_dims = tuple(angle_dims)  # tag: enables the Pallas NN path
     return erf

@@ -8,14 +8,21 @@ goal0=None, sys_time=time.time, printing=True).  [Reference mount was empty at
 survey time; citations follow SURVEY.md's provenance convention.]
 
 TPU re-architecture: the sequential grow loop becomes a host loop over jitted
-expansion *rounds* (core/rounds.py) on a fixed-capacity device tree, giving
-anytime/preemption semantics at round granularity (SURVEY.md sections 3.4, 7).
+*chunks* of expansion rounds (core/rounds.py) on a fixed-capacity device tree.
+Chunking matters on real deployments: one device dispatch runs
+``rounds_per_chunk`` full rounds via lax.fori_loop, and the host reads back a
+single packed (size, goal_found) stats vector per chunk — so per-dispatch
+latency (RPC tunnels, PCIe, scheduling) is amortized over thousands of
+expansions instead of being paid four times per round.  Anytime/preemption
+semantics hold at chunk granularity (SURVEY.md sections 3.4, 7).
+
 User callbacks (dynamics, lqr, erf, is_feasible, xrand_gen) must be
 jax-traceable; the framework vmaps them across the candidate batch.
 
 TPU-specific knobs are keyword-only extras: batch_size (candidates per round),
 capacity (tree array size), wrap_dims (angle dims wrapped in node storage),
-nn_block (NN scan tile), seed (PRNG).
+nn_block (NN scan tile), rounds_per_chunk (rounds fused per dispatch),
+nn_impl ("auto" | "pallas" | "jnp" nearest-neighbor backend), seed (PRNG).
 
 FPR note: the reference's FPR parameter semantics could not be verified
 (SURVEY.md section 3.1 [LOW]); here FPR in [0, 1] is implemented as
@@ -33,13 +40,14 @@ import numpy as np
 
 from .constraints import Constraints
 from .core.rounds import RoundSpec, make_round
+from .core.sampling import normalize_goal_bias, sample_batch
 from .core.steer import make_steer
 from .core.tree import TreeArrays, best_node, init_tree
-from .core.sampling import normalize_goal_bias
 from .tree import Tree
 
 _FPR_PLAN_LEN = 256   # resampled previous-plan states kept for FPR biasing
-_PRUNE_BATCH = 64     # batched shortcut attempts per pruning step
+_PRUNE_MAX = 32       # chain nodes covered by the all-pairs shortcut batch
+_FINISH_BATCH = 8     # tiled batch for the terminal goal connection
 
 
 class Planner:
@@ -51,9 +59,12 @@ class Planner:
                  sys_time: Callable = time.time, printing: bool = True, *,
                  batch_size: int = 512, capacity: Optional[int] = None,
                  wrap_dims=(), nn_block: int = 1024, seed: int = 0,
-                 saturate: Optional[Callable] = None):
+                 saturate: Optional[Callable] = None,
+                 rounds_per_chunk: int = 4, nn_impl: str = "auto"):
         if horizon <= 0 or dt <= 0:
             raise ValueError("horizon and dt must be positive")
+        if nn_impl not in ("auto", "pallas", "jnp"):
+            raise ValueError(f"unknown nn_impl {nn_impl!r}")
         self.dynamics = dynamics
         self.lqr = lqr
         self.constraints = constraints
@@ -80,22 +91,29 @@ class Planner:
         blk = min(self.nn_block, capacity)
         self.capacity = -(-int(capacity) // blk) * blk
         self.wrap_dims = tuple(wrap_dims)
+        self.rounds_per_chunk = max(int(rounds_per_chunk), 1)
+        self.nn_impl = nn_impl
 
         self._key = jax.random.PRNGKey(seed)
-        self._round_cache = {}
+        self._chunk_cache = {}
         self._killed = False
         self.tree: Optional[Tree] = None           # host snapshot (lazy)
         self._device_tree: Optional[TreeArrays] = None
-        self.x_seq = None                          # committed plan states (P, n)
-        self.u_seq = None                          # committed plan efforts (P-1, m)
-        self.T = 0.0                               # plan duration (s)
+        # The committed plan is ONE tuple (x_seq, u_seq, T) swapped atomically
+        # (GIL-atomic attribute store), so a controller thread interleaving
+        # get_state/get_effort with a replan never sees a torn plan
+        # (SURVEY.md section 5.2: the reference handles this informally the
+        # same way; here it is an explicit invariant with a test).
+        self._plan = None
         self.plan_reached_goal = False
         self.goal = None
         self.stats = {}
+        self.on_replan: Optional[Callable] = None  # metrics hook (utils.metrics)
 
-        # batched steer used by pruning / finish_on_goal (compiled lazily)
-        self._steer_jit = None
+        # compiled lazily
+        self._steer_jit = {}                       # batch size -> jitted steer
         self._seed_jit = None
+        self._seed_tree_jit = None
 
         if goal0 is not None:
             self.set_goal(goal0)
@@ -111,7 +129,7 @@ class Planner:
 
     def kill_update(self):
         """Preempt a running update_plan (reference C10); takes effect at the
-        next round boundary (SURVEY.md section 3.4)."""
+        next chunk boundary (SURVEY.md section 3.4)."""
         self._killed = True
 
     def unkill(self):
@@ -119,51 +137,120 @@ class Planner:
 
     # ------------------------------------------------------------- jit plumbing
 
-    def _get_round(self, xrand_gen, n_fpr: int):
+    def _wrap_mask(self):
+        if not self.wrap_dims:
+            return None
+        wrap_mask = np.zeros(self.nstates, bool)
+        wrap_mask[list(self.wrap_dims)] = True
+        return wrap_mask
+
+    def _nearest_override(self):
+        """Pick the fused Pallas NN kernel when the erf supports it.
+
+        The Pallas path needs an affine erf (subtract, optionally one wrapped
+        angle dim) — make_erf products carry an ``angle_dims`` tag.  "auto"
+        uses it on TPU backends only; "pallas" forces it (interpret mode off
+        TPU, which is how tests exercise the kernel on CPU).
+        """
+        if self.nn_impl == "jnp":
+            return None
+        dims = getattr(self.erf, "angle_dims", None)
+        if self.erf in (jnp.subtract, np.subtract):
+            dims = ()
+        if dims is None or len(dims) > 1:
+            if self.nn_impl == "pallas":
+                raise ValueError(
+                    "nn_impl='pallas' needs an affine erf with at most one "
+                    "wrapped angle dim (build it with ops.angles.make_erf)")
+            return None
+        platform = jax.devices()[0].platform
+        if self.nn_impl == "auto" and platform != "tpu":
+            return None
+        from .ops.pallas.nn_kernel import make_nearest_pallas
+        return make_nearest_pallas(
+            block=min(self.nn_block, self.capacity),
+            wrap_dim=dims[0] if dims else None,
+            interpret=(platform != "tpu"))
+
+    def _get_chunk(self, xrand_gen, n_fpr: int):
+        """Jitted chunk: rounds_per_chunk expansion rounds fused into one
+        device program, returning (tree, packed [size, goal_found]) so the
+        host pays exactly one dispatch + one small fetch per chunk."""
         key = (self.constraints._feasibility_version, id(xrand_gen), n_fpr)
-        if key not in self._round_cache:
-            spec = RoundSpec(
-                nstates=self.nstates, ncontrols=self.ncontrols,
-                batch=self.batch_size, horizon_steps=self.horizon_steps,
-                capacity=self.capacity, dt=self.dt, nn_block=self.nn_block)
-            wrap_mask = None
-            if self.wrap_dims:
-                wrap_mask = np.zeros(self.nstates, bool)
-                wrap_mask[list(self.wrap_dims)] = True
+        if key in self._chunk_cache:
+            return self._chunk_cache[key]
+
+        spec = RoundSpec(
+            nstates=self.nstates, ncontrols=self.ncontrols,
+            batch=self.batch_size, horizon_steps=self.horizon_steps,
+            capacity=self.capacity, dt=self.dt, nn_block=self.nn_block)
+        wrap_mask = self._wrap_mask()
+        nearest_fn = self._nearest_override()
+        common = dict(wrap_mask=wrap_mask, saturate=self.saturate,
+                      nearest_fn=nearest_fn)
+
+        if n_fpr > 0:
+            # FPR warm start: n_fpr of each batch resampled from the previous
+            # committed plan, threaded through as a traced argument so one
+            # compiled chunk serves every replan.
+            def call(tree, k, goal, sample_space, goal_bias, bias_target,
+                     prev_plan):
+                def gen(kk, B):
+                    k1, k2 = jax.random.split(kk)
+                    fresh = sample_batch(k1, B - n_fpr, sample_space,
+                                         goal_bias, bias_target)
+                    rows = jax.random.randint(k2, (n_fpr,), 0,
+                                              prev_plan.shape[0])
+                    return jnp.concatenate([prev_plan[rows], fresh], 0)
+                fn = make_round(spec, self.dynamics, self.lqr, self.erf,
+                                self.constraints.is_feasible, self.error_tol,
+                                self.constraints.goal_buffer, xrand_gen=gen,
+                                **common)
+                return fn(tree, k, goal, sample_space, goal_bias, bias_target)
+        else:
             base = make_round(spec, self.dynamics, self.lqr, self.erf,
                               self.constraints.is_feasible, self.error_tol,
-                              self.constraints.goal_buffer, wrap_mask=wrap_mask,
-                              xrand_gen=xrand_gen, saturate=self.saturate)
-            if n_fpr > 0:
-                def with_fpr(tree, key, goal, sample_space, goal_bias,
-                             bias_target, prev_plan):
-                    def gen(k, B):
-                        from .core.sampling import sample_batch
-                        k1, k2 = jax.random.split(k)
-                        fresh = sample_batch(k1, B - n_fpr, sample_space,
-                                             goal_bias, bias_target)
-                        rows = jax.random.randint(k2, (n_fpr,), 0,
-                                                  prev_plan.shape[0])
-                        return jnp.concatenate([prev_plan[rows], fresh], 0)
-                    spec2 = spec
-                    fn = make_round(spec2, self.dynamics, self.lqr, self.erf,
-                                    self.constraints.is_feasible,
-                                    self.error_tol,
-                                    self.constraints.goal_buffer,
-                                    wrap_mask=wrap_mask, xrand_gen=gen,
-                                    saturate=self.saturate)
-                    return fn(tree, key, goal, sample_space, goal_bias,
-                              bias_target)
-                fn = jax.jit(with_fpr, donate_argnums=(0,))
-            else:
-                fn = jax.jit(base, donate_argnums=(0,))
-            self._round_cache[key] = fn
-        return self._round_cache[key]
+                              self.constraints.goal_buffer,
+                              xrand_gen=xrand_gen, **common)
+
+            def call(tree, k, goal, sample_space, goal_bias, bias_target):
+                return base(tree, k, goal, sample_space, goal_bias,
+                            bias_target)
+
+        n_inner = self.rounds_per_chunk
+
+        def chunk(tree, base_key, start, goal, sample_space, goal_bias,
+                  bias_target, *extra):
+            def body(i, t):
+                k = jax.random.fold_in(base_key, start + i)
+                return call(t, k, goal, sample_space, goal_bias, bias_target,
+                            *extra)
+            tree = jax.lax.fori_loop(0, n_inner, body, tree)
+            stats = jnp.stack([tree.size,
+                               tree.goal_found.astype(jnp.int32)])
+            return tree, stats
+
+        fn = jax.jit(chunk, donate_argnums=(0,))
+        self._chunk_cache[key] = fn
+        return fn
+
+    def _get_seed_tree(self):
+        """One jitted program seeds the whole tree at x0 — init_tree's dozen
+        array initializations as eager ops cost a dispatch round-trip each on
+        remote backends."""
+        if self._seed_tree_jit is None:
+            def seed_tree(x0, goal, goal_buffer):
+                S0, K0 = self.lqr(x0, jnp.zeros(self.ncontrols))
+                e0 = self.erf(goal, x0)
+                in_goal0 = jnp.all(jnp.abs(e0) <= goal_buffer)
+                g0 = e0 @ S0 @ e0
+                return init_tree(self.capacity, self.horizon_steps,
+                                 self.nstates, self.ncontrols, x0, S0, K0,
+                                 g0, in_goal0)
+            self._seed_tree_jit = jax.jit(seed_tree)
+        return self._seed_tree_jit
 
     def _get_seed(self):
-        """Jitted seed computation: one compiled program instead of an eager
-        per-op dispatch storm (a CARE-based lqr callback run eagerly on a
-        remote TPU backend costs minutes in per-op compiles)."""
         if self._seed_jit is None:
             def seed(x0, goal, goal_buffer):
                 S0, K0 = self.lqr(x0, jnp.zeros(self.ncontrols))
@@ -174,14 +261,16 @@ class Planner:
             self._seed_jit = jax.jit(seed)
         return self._seed_jit
 
-    def _get_steer(self):
-        if self._steer_jit is None:
+    def _get_steer(self, batch: int):
+        """Jitted batched steer, cached per batch shape (pruning uses the
+        all-pairs batch; finish_on_goal a small tile)."""
+        if batch not in self._steer_jit:
             steer = make_steer(self.dynamics, self.erf,
                                self.constraints.is_feasible,
                                self.horizon_steps, self.dt, self.error_tol,
                                saturate=self.saturate)
-            self._steer_jit = jax.jit(steer)
-        return self._steer_jit
+            self._steer_jit[batch] = jax.jit(steer)
+        return self._steer_jit[batch]
 
     # ------------------------------------------------------------ update_plan
 
@@ -213,10 +302,10 @@ class Planner:
 
         # FPR warm-start pool from the previous committed plan.  With no
         # previous plan yet, a straight-line x0->goal ramp stands in, so the
-        # FPR>0 configuration always compiles exactly ONE round variant
+        # FPR>0 configuration always compiles exactly ONE chunk variant
         # (n_fpr is a trace-time constant).
         n_fpr = 0
-        prev_plan = None
+        extra = ()
         if self.FPR > 0.0:
             n_fpr = max(int(round(self.FPR * self.batch_size)), 1)
             if self.x_seq is not None and len(self.x_seq) > 1:
@@ -225,73 +314,73 @@ class Planner:
             else:
                 pool = np.linspace(np.asarray(x0), np.asarray(self.goal),
                                    _FPR_PLAN_LEN, dtype=np.float32)
-            prev_plan = jnp.asarray(pool, jnp.float32)
+            extra = (jnp.asarray(pool, jnp.float32),)
 
-        round_fn = self._get_round(xrand_gen, n_fpr)
+        chunk_fn = self._get_chunk(xrand_gen, n_fpr)
 
         # seed the tree at x0 (reference: Tree(seed_state=x0, seed_lqr=...))
-        S0, K0, in_goal0, gcost0 = self._get_seed()(
-            x0, self.goal, self.constraints.goal_buffer)
-        tree = init_tree(self.capacity, self.horizon_steps, self.nstates,
-                         self.ncontrols, x0, S0, K0, gcost0, in_goal0)
+        tree = self._get_seed_tree()(x0, self.goal,
+                                     self.constraints.goal_buffer)
 
         self._key, base = jax.random.split(self._key)
         t0 = self.sys_time()
         rounds = 0
+        size, goal_found = 1, False
         node_cap = min(self.max_nodes, self.capacity)
         if self.printing:
             print(f"[lqrrt] planning: budget [{t_min}, {t_max}]s, "
-                  f"batch {self.batch_size}, capacity {self.capacity}")
+                  f"batch {self.batch_size} x {self.rounds_per_chunk} "
+                  f"rounds/chunk, capacity {self.capacity}")
         while True:
             elapsed = self.sys_time() - t0
             if self._killed:
                 if self.printing:
                     print("[lqrrt] killed; salvaging best-so-far")
                 break
-            size = int(tree.size)
-            goal_found = bool(tree.goal_found)
             if size >= node_cap:
                 break
             if elapsed >= t_max:
                 break
             if goal_found and elapsed >= t_min:
                 break
-            key = jax.random.fold_in(base, rounds)
-            args = [tree, key, self.goal, sample_space, goal_bias, bias_target]
-            if n_fpr > 0:
-                args.append(prev_plan)
-            tree = round_fn(*args)
-            rounds += 1
-        # make sure the last round finished before timing
-        tree.size.block_until_ready()
+            tree, stats = chunk_fn(tree, base, rounds, self.goal,
+                                   sample_space, goal_bias, bias_target,
+                                   *extra)
+            st = np.asarray(stats)           # ONE blocking fetch per chunk
+            size, goal_found = int(st[0]), bool(st[1])
+            rounds += self.rounds_per_chunk
         elapsed = self.sys_time() - t0
 
         self._device_tree = tree
         self.tree = None  # host snapshot invalidated; rebuilt lazily
 
-        goal_reached = bool(tree.goal_found)
+        goal_reached = goal_found
         best = int(best_node(tree))
         x_seq, u_seq = self._extract(tree, best)
 
         if pruning and len(x_seq) > 2:
-            x_seq, u_seq = self._prune(tree, best, x_seq, u_seq)
+            x_seq, u_seq = self._prune(tree, x_seq, u_seq)
         if finish_on_goal and goal_reached:
             x_seq, u_seq = self._finish_on_goal(x_seq, u_seq)
 
-        self.x_seq = np.asarray(x_seq, np.float32)
-        self.u_seq = np.asarray(u_seq, np.float32)
-        self.T = self.dt * (len(self.x_seq) - 1)
+        x_seq = np.asarray(x_seq, np.float32)
+        u_seq = np.asarray(u_seq, np.float32)
+        self._plan = (x_seq, u_seq, self.dt * (len(x_seq) - 1))  # atomic swap
         self.plan_reached_goal = goal_reached
         self.stats = dict(
-            nodes=int(tree.size), rounds=rounds, elapsed_s=elapsed,
+            nodes=size, rounds=rounds, elapsed_s=elapsed,
             expansions=rounds * self.batch_size,
             expansions_per_s=rounds * self.batch_size / max(elapsed, 1e-9),
-            goal_found=goal_reached, plan_steps=len(self.x_seq))
+            goal_found=goal_reached, plan_steps=len(self.x_seq),
+            plan_duration_s=self.T,
+            total_s=self.sys_time() - t0)
         if self.printing:
-            print(f"[lqrrt] done: {self.stats['nodes']} nodes, "
+            print(f"[lqrrt] done: {size} nodes, "
                   f"{rounds} rounds in {elapsed:.3f}s "
                   f"({self.stats['expansions_per_s']:.0f} expansions/s), "
                   f"goal={'yes' if goal_reached else 'no'}")
+        if self.on_replan is not None:
+            self.on_replan(dict(self.stats))
         return goal_reached
 
     # ------------------------------------------------- extraction & smoothing
@@ -307,13 +396,15 @@ class Planner:
             ID = int(parent[ID])
         chain = chain[::-1]
         self._last_chain = chain
-        # single gather + transfer for the chain's edges
+        # single gather + transfer for the chain's nodes and edges
         ids = jnp.asarray(chain, jnp.int32)
         edge_x = np.asarray(tree.edge_x[ids])
         edge_u = np.asarray(tree.edge_u[ids])
         edge_len = np.asarray(tree.edge_len[ids])
-        root_state = np.asarray(tree.state[chain[0]])
-        xs = [root_state[None, :]]
+        states = np.asarray(tree.state[ids])
+        gains = np.asarray(tree.K[ids])
+        self._last_edges = (states, gains, edge_x, edge_u, edge_len)
+        xs = [states[0][None, :]]
         us = []
         for i in range(1, len(chain)):
             ln = int(edge_len[i])
@@ -324,57 +415,75 @@ class Planner:
                  else np.zeros((0, self.ncontrols), np.float32))
         return x_seq, u_seq
 
-    def _chain_states_gains(self, tree: TreeArrays):
-        chain = self._last_chain
-        ids = jnp.asarray(chain, jnp.int32)
-        return (np.asarray(tree.state[ids]), np.asarray(tree.K[ids]), chain)
+    def _prune(self, tree: TreeArrays, x_seq, u_seq):
+        """Shortcut pass: re-steer between non-adjacent chain nodes and drop
+        intermediates (reference pruning=True behavior, SURVEY.md C7).
 
-    def _prune(self, tree: TreeArrays, best: int, x_seq, u_seq):
-        """Greedy shortcut pass: re-steer between non-adjacent chain nodes and
-        drop intermediates (reference pruning=True behavior, SURVEY.md C7).
-
-        Batched: from node i, one jitted steer batch attempts connections to
-        up to _PRUNE_BATCH downstream chain nodes at once.
+        ONE batched steer evaluates every (source, target) chain pair at
+        once; the greedy furthest-reachable selection then runs on the host
+        from the (M, M) reached matrix, and only the chosen shortcut rollouts
+        are fetched.  Chains longer than _PRUNE_MAX keep their tail unpruned
+        (plans that deep are rare at practical horizons).
         """
-        states, gains, chain = self._chain_states_gains(tree)
-        L = len(chain)
+        states, gains, edge_x, edge_u, edge_len = self._last_edges
+        L = len(states)
         if L <= 2:
             return x_seq, u_seq
-        steer = self._get_steer()
-        PB = _PRUNE_BATCH
-        segs_x, segs_u = [], []
+        M = _PRUNE_MAX
+        W = min(L, M)
+        # padded (M, n) sources / (M, m, n) gains; all-pairs flattened batch
+        src = np.zeros((M, self.nstates), np.float32)
+        src[:W] = states[:W]
+        gns = np.zeros((M,) + gains.shape[1:], np.float32)
+        gns[:W] = gains[:W]
+        x0_flat = np.repeat(src, M, axis=0)              # (M*M, n)
+        K_flat = np.repeat(gns, M, axis=0)
+        tgt_flat = np.tile(src, (M, 1))                  # (M*M, n)
+        steer = self._get_steer(M * M)
+        res = steer(jnp.asarray(x0_flat), jnp.asarray(K_flat),
+                    jnp.asarray(tgt_flat))
+        reached = np.asarray(res.reached).reshape(M, M)
+        length = np.asarray(res.length).reshape(M, M)
+
+        # greedy furthest-reachable shortcut over the window [0, W)
+        segs = []          # (kind, i, j): "steer" uses res, "edge" original
         i = 0
-        while i < L - 1:
-            # candidate targets: chain[i+2 ...], padded to PB with chain[i+1]
-            tgt_ids = list(range(i + 2, min(L, i + 2 + PB)))
-            n_t = len(tgt_ids)
-            if n_t == 0:
-                # adjacent edge only: keep original rollout
-                segs_x.append(self._edge_of(tree, chain[i + 1]))
-                i += 1
-                continue
-            targets = np.zeros((PB, self.nstates), np.float32)
-            targets[:n_t] = states[tgt_ids]
-            targets[n_t:] = states[i + 1]
-            res = steer(jnp.tile(jnp.asarray(states[i])[None, :], (PB, 1)),
-                        jnp.tile(jnp.asarray(gains[i])[None], (PB, 1, 1)),
-                        jnp.asarray(targets))
-            reached = np.asarray(res.reached)[:n_t]
-            if reached.any():
-                j_rel = int(np.max(np.nonzero(reached)[0]))
-                j = tgt_ids[j_rel]
-                ln = int(np.asarray(res.length)[j_rel])
-                segs_x.append((np.asarray(res.x_seq)[j_rel][:ln],
-                               np.asarray(res.u_seq)[j_rel][:ln]))
-                i = j
+        while i < W - 1:
+            js = [j for j in range(W - 1, i + 1, -1)
+                  if reached[i, j] and length[i, j] >= 1]
+            if js:
+                j = js[0]
+                segs.append(("steer", i, j))
             else:
-                segs_x.append(self._edge_of(tree, chain[i + 1]))
-                i += 1
+                j = i + 1
+                segs.append(("edge", i, j))
+            i = j
+        # tail beyond the window: original edges
+        for j in range(W, L):
+            segs.append(("edge", j - 1, j))
+
+        steer_pairs = [(i, j) for kind, i, j in segs if kind == "steer"]
+        if not steer_pairs:
+            return x_seq, u_seq
+        # fetch only the chosen shortcut rollouts, one gather + transfer
+        flat_ids = jnp.asarray(
+            np.array([i * M + j for i, j in steer_pairs], np.int32))
+        sx = np.asarray(res.x_seq[flat_ids])
+        su = np.asarray(res.u_seq[flat_ids])
+        sl = {p: k for k, p in enumerate(steer_pairs)}
+
         xs = [states[0][None, :]]
         us = []
-        for sx, su in segs_x:
-            xs.append(sx)
-            us.append(su)
+        for kind, i, j in segs:
+            if kind == "steer":
+                k = sl[(i, j)]
+                ln = int(length[i, j])
+                xs.append(sx[k][:ln])
+                us.append(su[k][:ln])
+            else:
+                ln = int(edge_len[j])
+                xs.append(edge_x[j][:ln])
+                us.append(edge_u[j][:ln])
         x_new = np.concatenate(xs, axis=0)
         u_new = (np.concatenate(us, axis=0) if us
                  else np.zeros((0, self.ncontrols), np.float32))
@@ -383,21 +492,15 @@ class Planner:
             return x_new, u_new
         return x_seq, u_seq
 
-    def _edge_of(self, tree: TreeArrays, node_id: int):
-        ln = int(tree.edge_len[node_id])
-        return (np.asarray(tree.edge_x[node_id])[:ln],
-                np.asarray(tree.edge_u[node_id])[:ln])
-
     def _finish_on_goal(self, x_seq, u_seq):
         """Attempt an exact terminal connection to the goal (reference
         finish_on_goal=True / _steer(..., force_arrive=True), SURVEY.md C7)."""
-        steer = self._get_steer()
-        PB = _PRUNE_BATCH
-        x_end = jnp.tile(jnp.asarray(x_seq[-1])[None, :], (PB, 1))
+        steer = self._get_steer(_FINISH_BATCH)
+        x_end = jnp.tile(jnp.asarray(x_seq[-1])[None, :], (_FINISH_BATCH, 1))
         Sg, Kg, _, _ = self._get_seed()(jnp.asarray(x_seq[-1]), self.goal,
                                         self.constraints.goal_buffer)
-        res = steer(x_end, jnp.tile(Kg[None], (PB, 1, 1)),
-                    jnp.tile(self.goal[None, :], (PB, 1)))
+        res = steer(x_end, jnp.tile(Kg[None], (_FINISH_BATCH, 1, 1)),
+                    jnp.tile(self.goal[None, :], (_FINISH_BATCH, 1)))
         if bool(np.asarray(res.reached)[0]):
             ln = int(np.asarray(res.length)[0])
             x_seq = np.concatenate([x_seq, np.asarray(res.x_seq)[0][:ln]], 0)
@@ -408,22 +511,43 @@ class Planner:
 
     # --------------------------------------------------- controller-facing API
 
+    @property
+    def x_seq(self):
+        """Committed plan states (P, n); None before the first plan."""
+        plan = self._plan
+        return None if plan is None else plan[0]
+
+    @property
+    def u_seq(self):
+        """Committed plan efforts (P-1, m); None before the first plan."""
+        plan = self._plan
+        return None if plan is None else plan[1]
+
+    @property
+    def T(self) -> float:
+        """Committed plan duration in seconds (0 before the first plan)."""
+        plan = self._plan
+        return 0.0 if plan is None else plan[2]
+
     def get_state(self, t: float):
         """Plan state at time t (s, relative to plan start), linear
         interpolation, endpoint hold outside [0, T] (reference C11)."""
-        if self.x_seq is None:
+        plan = self._plan  # single read: consistent even mid-replan-swap
+        if plan is None:
             raise RuntimeError("no plan committed; call update_plan first")
-        return self._interp(self.x_seq, t)
+        return self._interp(plan[0], t)
 
     def get_effort(self, t: float):
         """Plan effort at time t; zero-order hold per dt sample, endpoint hold
         outside the plan (reference C11)."""
-        if self.u_seq is None:
+        plan = self._plan
+        if plan is None:
             raise RuntimeError("no plan committed; call update_plan first")
-        if len(self.u_seq) == 0:
+        u_seq = plan[1]
+        if len(u_seq) == 0:
             return np.zeros(self.ncontrols, np.float32)
-        i = int(np.clip(np.floor(t / self.dt), 0, len(self.u_seq) - 1))
-        return self.u_seq[i]
+        i = int(np.clip(np.floor(t / self.dt), 0, len(u_seq) - 1))
+        return u_seq[i]
 
     def _interp(self, seq, t: float):
         tau = np.clip(t / self.dt, 0.0, len(seq) - 1)

@@ -134,7 +134,10 @@ def test_max_nodes_respected():
         batch_size=32, capacity=1024, nn_block=256)
     planner.update_plan(prob["x0"], prob["sample_space"], goal_bias=0.0,
                         pruning=False)
-    assert planner.stats["nodes"] <= 200 + planner.batch_size
+    # max_nodes is enforced at chunk granularity: overshoot is bounded by
+    # one chunk's worth of commits (batch_size * rounds_per_chunk)
+    assert planner.stats["nodes"] <= (
+        200 + planner.batch_size * planner.rounds_per_chunk)
 
 
 def test_guide_bias_used():
