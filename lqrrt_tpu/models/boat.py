@@ -89,16 +89,37 @@ def make_lqr(q=(1.0, 1.0, 2.0, 0.1, 0.1, 0.2), r=(2e-5, 2e-5, 2e-5)):
     return lqr
 
 
-def default_problem(obstacles: bool = True):
-    """Benchmark scenario: 40 m transit through a buoy field."""
+def default_problem(obstacles: bool = True, obstacle_model: str = "circles",
+                    grid_resolution: float = 0.25):
+    """Benchmark scenario: 40 m transit through a buoy field.
+
+    obstacle_model: "circles" (the reference-demo model) or "grid" — the same
+    buoy field rasterized into an OccupancyGrid, the deployment-grade
+    feasibility the WAM-V ran with (SURVEY.md D3: "occupancy-grid
+    (deployment) feasibility").
+    """
     from ..constraints import Constraints
 
     centers = np.array([[12.0, 3.0], [18.0, -4.0], [25.0, 2.0], [30.0, -3.0],
                         [8.0, -6.0], [22.0, 8.0], [34.0, 4.0]], np.float32)
     radii = np.array([2.5, 3.0, 2.0, 2.5, 2.0, 2.5, 2.0], np.float32)
     preds = []
-    if obstacles:
+    if obstacles and obstacle_model == "circles":
         preds.append(collision.circles_free(centers, radii, margin=1.0))
+    elif obstacles and obstacle_model == "grid":
+        origin = np.array([-4.0, -12.0], np.float32)
+        W = int(round((46.0 - origin[0]) / grid_resolution))
+        H = int(round((12.0 - origin[1]) / grid_resolution))
+        gx = origin[0] + (np.arange(W) + 0.5) * grid_resolution
+        gy = origin[1] + (np.arange(H) + 0.5) * grid_resolution
+        X, Y = np.meshgrid(gx, gy)                       # (H, W)
+        occ = np.zeros((H, W), bool)
+        for c, r in zip(centers, radii):
+            occ |= (X - c[0]) ** 2 + (Y - c[1]) ** 2 <= (r + 1.0) ** 2
+        grid = collision.OccupancyGrid(occ, origin, grid_resolution)
+        preds.append(grid.feasibility(footprint_radius=0.0))
+    elif obstacles:
+        raise ValueError(f"unknown obstacle_model {obstacle_model!r}")
     is_feasible = collision.all_of(*preds) if preds else (lambda x, u: jnp.bool_(True))
     constraints = Constraints(
         nstates=NSTATES, ncontrols=NCONTROLS,

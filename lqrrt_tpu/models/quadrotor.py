@@ -3,11 +3,13 @@
 
 State  x = [p(3), rpy(3), v(3), w(3)]  (n = 12)
          world position, roll/pitch/yaw, world velocity, body angular rate
-Control u = [T, tx, ty, tz]             total thrust + body torques (m = 4)
+Control u = [dT, tx, ty, tz]            thrust DEVIATION from hover + torques
 
-Small-angle-friendly Euler dynamics; LQR re-linearized about each node with
-hover thrust as the control linearization point — the heaviest batched-CARE
-exercise in the model zoo (24x24 Hamiltonian sign iterations under vmap).
+The thrust channel is parameterized about hover (total thrust = m g + dT) so
+the framework's pure-feedback steering law u = K e is gravity-compensated at
+zero error — the standard LQR formulation for hovering vehicles.  The LQR is
+re-linearized about each node: the heaviest batched-CARE exercise in the
+model zoo (24x24 Hamiltonian sign iterations under vmap).
 """
 from __future__ import annotations
 
@@ -26,9 +28,9 @@ NCONTROLS = 4
 MASS = 1.0            # kg
 G = 9.81
 INERTIA = np.array([0.01, 0.01, 0.02], np.float32)   # diag body inertia
-T_MAX = 25.0          # N
+T_MAX = 25.0          # N, total thrust ceiling
 TAU_MAX = 0.5         # N m
-HOVER_U = np.array([MASS * G, 0.0, 0.0, 0.0], np.float32)
+HOVER_T = MASS * G    # total thrust at hover; u[0] is the deviation from it
 
 
 def _rpy_to_R(rpy):
@@ -44,7 +46,7 @@ def _rpy_to_R(rpy):
 
 def f(x, u):
     rpy, v, w = x[3:6], x[6:9], x[9:12]
-    T = jnp.clip(u[0], 0.0, T_MAX)
+    T = jnp.clip(u[0] + HOVER_T, 0.0, T_MAX)
     tau = jnp.clip(u[1:], -TAU_MAX, TAU_MAX)
     R = _rpy_to_R(rpy)
     # Euler-angle rates from body rates (roll-pitch-yaw convention)
@@ -65,8 +67,9 @@ dynamics = discretize(f, "rk4")
 
 erf = make_erf(NSTATES, angle_dims=(5,))  # yaw wraps; roll/pitch stay small
 
-U_MIN = np.array([0.0, -TAU_MAX, -TAU_MAX, -TAU_MAX], np.float32)
-U_MAX_VEC = np.array([T_MAX, TAU_MAX, TAU_MAX, TAU_MAX], np.float32)
+U_MIN = np.array([-HOVER_T, -TAU_MAX, -TAU_MAX, -TAU_MAX], np.float32)
+U_MAX_VEC = np.array([T_MAX - HOVER_T, TAU_MAX, TAU_MAX, TAU_MAX],
+                     np.float32)
 
 
 def saturate(u):
@@ -77,7 +80,8 @@ def make_lqr(q=(1.0, 1.0, 1.0, 2.0, 2.0, 1.0, 0.3, 0.3, 0.3, 0.1, 0.1, 0.1),
              r=(0.02, 2.0, 2.0, 2.0)):
     Q = np.diag(np.asarray(q, np.float32))
     R = np.diag(np.asarray(r, np.float32))
-    return make_relinearized_lqr(f, Q, R, u_eq=HOVER_U)
+    return make_relinearized_lqr(f, Q, R,
+                                 u_eq=np.zeros(NCONTROLS, np.float32))
 
 
 def default_problem(obstacles: bool = True):

@@ -54,7 +54,7 @@ class FleetPlanner:
         self._mk = dict(dynamics=dynamics, lqr=lqr, erf=erf,
                         is_feasible=is_feasible, error_tol=error_tol,
                         saturate=saturate, wrap_dims=tuple(wrap_dims))
-        self._vround = None
+        self._vplan = None
         self._lqr = lqr
         self._erf = erf
         self.trees: Optional[TreeArrays] = None  # scenario-leading pytree
@@ -70,16 +70,28 @@ class FleetPlanner:
             self._mk["is_feasible"], self._mk["error_tol"], self.goal_buffer,
             wrap_mask=wrap_mask, saturate=self._mk["saturate"])
         vround = jax.vmap(round_fn, in_axes=(0, 0, 0, 0, None, 0))
+        S = self.n_scenarios
+
+        # All rounds fused into ONE dispatch (lax.fori_loop with a traced
+        # trip count compiles once for any round count): per-round host
+        # dispatch would be latency-bound on remote/pod deployments.
+        def run(trees, base, nrounds, goals, sample_spaces, goal_bias):
+            def body(r, ts):
+                keys = jax.random.split(jax.random.fold_in(base, r), S)
+                return vround(ts, keys, goals, sample_spaces, goal_bias,
+                              goals)
+            return jax.lax.fori_loop(0, nrounds, body, trees)
+
         if self.mesh is not None:
             sh = NamedSharding(self.mesh, P(self.axis))
             rep = NamedSharding(self.mesh, P())
-            self._vround = jax.jit(
-                vround, donate_argnums=(0,),
-                in_shardings=(jax.tree.map(lambda _: sh, _tree_proto()),
-                              sh, sh, sh, rep, sh),
-                out_shardings=jax.tree.map(lambda _: sh, _tree_proto()))
+            tree_sh = jax.tree.map(lambda _: sh, _tree_proto())
+            self._vplan = jax.jit(
+                run, donate_argnums=(0,),
+                in_shardings=(tree_sh, rep, rep, sh, sh, rep),
+                out_shardings=tree_sh)
         else:
-            self._vround = jax.jit(vround, donate_argnums=(0,))
+            self._vplan = jax.jit(run, donate_argnums=(0,))
         # vmapped seeding
         def seed_one(x0, goal):
             S0, K0 = self._mk["lqr"](x0, jnp.zeros(ncontrols))
@@ -108,7 +120,7 @@ class FleetPlanner:
         if goal_bias.ndim == 0:
             goal_bias = jnp.full((n,), goal_bias)
 
-        if self._vround is None or self.spec.nstates != n:
+        if self._vplan is None or self.spec.nstates != n:
             self._build(n, self._infer_ncontrols(x0s[0]))
 
         trees = self._vseed(x0s, goals)
@@ -116,11 +128,8 @@ class FleetPlanner:
             sh = NamedSharding(self.mesh, P(self.axis))
             trees = jax.tree.map(lambda x: jax.device_put(x, sh), trees)
         self._key, base = jax.random.split(self._key)
-        for r in range(rounds):
-            keys = jax.random.split(jax.random.fold_in(base, r),
-                                    self.n_scenarios)
-            trees = self._vround(trees, keys, goals, sample_spaces,
-                                 goal_bias, goals)
+        trees = self._vplan(trees, base, jnp.asarray(rounds, jnp.int32),
+                            goals, sample_spaces, goal_bias)
         trees.size.block_until_ready()
         self.trees = trees
         return dict(

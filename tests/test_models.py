@@ -79,7 +79,8 @@ def test_car_planner_reaches_goal():
 
 def test_quadrotor_hover_equilibrium():
     x0 = jnp.zeros(12).at[2].set(2.0)
-    xd = quadrotor.f(x0, quadrotor.HOVER_U)
+    # u = 0 is hover: the thrust channel is a deviation from m*g
+    xd = quadrotor.f(x0, jnp.zeros(4))
     np.testing.assert_allclose(np.asarray(xd), 0.0, atol=1e-5)
 
 
@@ -90,3 +91,23 @@ def test_quadrotor_planner_reaches_goal():
                              goal_bias=[0.3, 0.3, 0.3] + [0.0] * 9)
     assert reached, planner.stats
     _check_plan(prob, planner)
+
+
+def test_boat_grid_obstacle_model_matches_circles():
+    """The rasterized occupancy grid must agree with the analytic circles on
+    clearly-free and clearly-occupied probes (SURVEY.md D3 deployment
+    feasibility)."""
+    circ = boat.default_problem(obstacle_model="circles")
+    grid = boat.default_problem(obstacle_model="grid")
+    u = jnp.zeros(3)
+    probes_free = [np.array([0, 0, 0, 0, 0, 0], np.float32),
+                   np.array([40, 0, 0, 0, 0, 0], np.float32),
+                   np.array([5, 5, 0, 0, 0, 0], np.float32)]
+    probes_hit = [np.array([12, 3, 0, 0, 0, 0], np.float32),   # buoy center
+                  np.array([18, -4, 0, 0, 0, 0], np.float32)]
+    for p in probes_free:
+        assert bool(circ["constraints"].is_feasible(jnp.asarray(p), u))
+        assert bool(grid["constraints"].is_feasible(jnp.asarray(p), u))
+    for p in probes_hit:
+        assert not bool(circ["constraints"].is_feasible(jnp.asarray(p), u))
+        assert not bool(grid["constraints"].is_feasible(jnp.asarray(p), u))
