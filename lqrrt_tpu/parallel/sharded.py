@@ -43,11 +43,14 @@ def make_sharded_round(spec: RoundSpec, mesh: Mesh, dynamics: Callable,
                        lqr: Callable, erf: Callable, is_feasible: Callable,
                        error_tol, goal_buffer, wrap_mask=None,
                        saturate: Callable | None = None,
+                       nearest_fn: Callable | None = None,
                        axis: str = "dp") -> Callable:
     """Build the multi-device round: same signature and semantics as the
     single-chip round, tree replicated, candidate batch sharded over ``axis``.
 
     spec.batch is the GLOBAL batch; it must divide by the mesh axis size.
+    ``nearest_fn`` (e.g. the Pallas NN kernel) runs per device on the local
+    candidate shard against the replicated tree.
     """
     n_dev = mesh.shape[axis]
     if spec.batch % n_dev != 0:
@@ -55,7 +58,8 @@ def make_sharded_round(spec: RoundSpec, mesh: Mesh, dynamics: Callable,
                          f"{axis}={n_dev}")
     local_b = spec.batch // n_dev
     expand = make_expand(spec, dynamics, lqr, erf, is_feasible, error_tol,
-                         goal_buffer, wrap_mask=wrap_mask, saturate=saturate)
+                         goal_buffer, wrap_mask=wrap_mask, saturate=saturate,
+                         nearest_fn=nearest_fn)
 
     rep = P()
 

@@ -60,7 +60,7 @@ class Planner:
                  batch_size: int = 512, capacity: Optional[int] = None,
                  wrap_dims=(), nn_block: int = 1024, seed: int = 0,
                  saturate: Optional[Callable] = None,
-                 rounds_per_chunk: int = 4, nn_impl: str = "auto"):
+                 rounds_per_chunk: int = 8, nn_impl: str = "auto"):
         if horizon <= 0 or dt <= 0:
             raise ValueError("horizon and dt must be positive")
         if nn_impl not in ("auto", "pallas", "jnp"):
@@ -331,6 +331,12 @@ class Planner:
             print(f"[lqrrt] planning: budget [{t_min}, {t_max}]s, "
                   f"batch {self.batch_size} x {self.rounds_per_chunk} "
                   f"rounds/chunk, capacity {self.capacity}")
+        # Pipelined anytime loop: dispatch chunk k+1 BEFORE fetching chunk
+        # k's stats, so the host's one small fetch per chunk overlaps the
+        # next chunk's device compute (JAX async dispatch).  Break checks see
+        # stats one chunk stale — the same anytime semantics at one-chunk
+        # granularity (SURVEY.md section 3.4).
+        pending = None
         while True:
             elapsed = self.sys_time() - t0
             if self._killed:
@@ -346,9 +352,14 @@ class Planner:
             tree, stats = chunk_fn(tree, base, rounds, self.goal,
                                    sample_space, goal_bias, bias_target,
                                    *extra)
-            st = np.asarray(stats)           # ONE blocking fetch per chunk
-            size, goal_found = int(st[0]), bool(st[1])
             rounds += self.rounds_per_chunk
+            if pending is not None:
+                st = np.asarray(pending)     # one fetch, overlapped above
+                size, goal_found = int(st[0]), bool(st[1])
+            pending = stats
+        if pending is not None:
+            st = np.asarray(pending)         # final (current) stats
+            size, goal_found = int(st[0]), bool(st[1])
         elapsed = self.sys_time() - t0
 
         self._device_tree = tree
