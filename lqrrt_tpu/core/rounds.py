@@ -27,7 +27,7 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .commit import commit_batch
+from .commit import commit_batch, commit_batch_dense
 from .nearest import make_nearest
 from .sampling import sample_batch
 from .steer import make_steer
@@ -40,9 +40,11 @@ class RoundSpec(NamedTuple):
     ncontrols: int
     batch: int              # candidates per round
     horizon_steps: int      # steer rollout cap H
-    capacity: int           # tree capacity N
+    capacity: int           # logical tree capacity N
     dt: float
     nn_block: int = 1024
+    slack: int = 0          # spare rows past N (init_tree(slack=...)); when
+                            # >= batch the scatter-free dense commit is used
 
 
 class Candidates(NamedTuple):
@@ -144,6 +146,10 @@ def make_round(spec: RoundSpec, dynamics: Callable, lqr: Callable,
         c = expand(tree, xrand, goal)
 
         # --- masked compacting commit (C8 insert) ---
+        if spec.slack >= spec.batch:   # scatter-free dense commit
+            return commit_batch_dense(
+                tree, spec.dt, spec.capacity, c.pids, c.length, c.x_seq,
+                c.u_seq, c.xnew, c.S_new, c.K_new, c.in_goal, c.gcost)
         return commit_batch(tree, spec.dt, c.pids, c.length, c.x_seq, c.u_seq,
                             c.xnew, c.S_new, c.K_new, c.in_goal, c.gcost)
 

@@ -42,10 +42,14 @@ class TreeArrays(NamedTuple):
 
 
 def init_tree(capacity: int, horizon_steps: int, nstates: int, ncontrols: int,
-              x0, S0, K0, goal_cost0, in_goal0) -> TreeArrays:
+              x0, S0, K0, goal_cost0, in_goal0, slack: int = 0) -> TreeArrays:
     """Seed a fresh tree with the root node x0 (reference: update_plan seeds
-    Tree(seed_state=x0, seed_lqr=(S0, K0)), SURVEY.md section 3.2)."""
-    N, H, n, m = capacity, horizon_steps, nstates, ncontrols
+    Tree(seed_state=x0, seed_lqr=(S0, K0)), SURVEY.md section 3.2).
+
+    ``slack`` allocates spare rows past the logical capacity for the
+    scatter-free dense commit (core/commit.py commit_batch_dense); slack rows
+    are never counted in ``size``."""
+    N, H, n, m = capacity + slack, horizon_steps, nstates, ncontrols
     f32, i32 = jnp.float32, jnp.int32
     return TreeArrays(
         state=jnp.zeros((N, n), f32).at[0].set(x0),

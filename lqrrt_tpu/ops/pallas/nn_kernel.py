@@ -7,13 +7,12 @@ distance-kernel over a fixed-capacity SoA tree".
 
 MXU formulation
 ---------------
-For the subtract-erf (optionally with wrapped angle dims), the quadratic cost
-is bilinear in per-side features:
+For the subtract-erf, the quadratic cost is bilinear in per-side features:
 
-    e = x_j - r_b
-    cost(b, j) = e' S_j e
-               = x_j'S_j x_j  -  2 r_b'(S_j x_j)  +  vec(r_b r_b') . vec(S_j)
-               = psi(r_b) . phi(x_j, S_j)
+    e0 = x_j - r_b
+    c0(b, j) = e0' S_j e0
+             = x_j'S_j x_j  -  2 r_b'(S_j x_j)  +  vec(r_b r_b') . vec(S_j)
+             = psi(r_b) . phi(x_j, S_j)
 
     psi_b = [1,  r_b,  vec(r_b r_b')]             in R^{1 + n + n^2}
     phi_j = [x_j'S_j x_j,  -2 S_j x_j,  vec(S_j)] in R^{1 + n + n^2}
@@ -23,13 +22,27 @@ systolic array, and the kernel fuses the running (min, argmin) over node
 blocks in VMEM — the (B, N) cost matrix never touches HBM (at B = 1024,
 N = 32768 that is a 128 MB round trip the jnp path cannot avoid).
 
-Wrapped angle dims (the boat's psi, SURVEY.md D3): e_a = wrap(x_a - r_a) is
-x_a - (r_a + 2 pi k) for the data-dependent k in {-1, 0, 1} that lands the
-difference in [-pi, pi).  The kernel evaluates the three shifted candidate
-feature rows (one matmul with 3B rows) and selects per (b, j) by computing
-k = round((x_a - r_a) / 2 pi) from the node/candidate angles.  One wrapped
-dim is supported (covers every model in the zoo: boat psi, car heading);
-other erfs use the jnp path in core/nearest.py.
+Wrapped angle dim (the boat's psi, SURVEY.md D3): the wrapped error is
+e = e0 - 2 pi k s_a with the data-dependent shift k = round((x_a - r_a)/2pi)
+in {-1, 0, 1} that lands the angle difference in [-pi, pi).  For symmetric S
+(cost-to-go matrices are), expanding the quadratic gives a closed-form
+correction
+
+    cost(b, j) = c0 - 4 pi k (S_j e0)_a + 4 pi^2 k^2 (S_j)_aa
+    (S_j e0)_a = (S_j x_j)_a - S_j[a, :] . r_b      (bilinear again)
+
+so the kernel packs TWO row groups into one matmul — rows [0, B) carry psi
+against phi's c0 lanes, rows [B, 2B) carry [1, -r_b] against phi's
+[(S x)_a, S[a, :]] lanes — and combines them with the per-(b, j) shift k
+computed from the node/candidate angles.  1.5x fewer MXU flops than
+evaluating three shifted candidate sets.  One wrapped dim is supported
+(covers every model in the zoo: boat psi, car heading, quad yaw); other erfs
+use the jnp path in core/nearest.py.
+
+Numerics: the expansion of c0 cancels catastrophically for near nodes, so
+the matmul runs at Precision.HIGHEST (multi-pass f32 on the MXU) and all
+coordinates are centered about the candidate-batch mean first (the metric is
+translation-invariant; centering shrinks the cancelling term magnitudes).
 """
 from __future__ import annotations
 
@@ -47,27 +60,31 @@ _INF = float(np.inf)  # python scalar: kernels cannot capture device consts
 
 
 def feature_dim(n: int) -> int:
-    """Bilinear feature length 1 + n + n^2, padded to the 128-lane boundary."""
-    f = 1 + n + n * n
+    """Feature length 1 + n + n^2 (+ 1 + n wrap-correction lanes), padded to
+    the 128-lane boundary."""
+    f = 1 + n + n * n + 1 + n
     return -(-f // 128) * 128
 
 
-def node_features(states, S):
-    """phi_j = [x'Sx, -2 Sx, vec(S)] rows, lane-padded: (N, F).
+def node_features(states, S, wrap_dim=None):
+    """phi_j rows, lane-padded to (N, F).
 
-    Recomputed from the SoA tree each call — N * n^2 work, fused by XLA, and
-    always consistent with the committed tree (no incremental-update state).
+    Lanes [0, 1+n+n^2):      [x'Sx, -2 Sx, vec(S)]     -> c0 via psi
+    Lanes [1+n+n^2, +1+n):   [(S x)_a, S[a, :]]        -> (S e0)_a via psi2
     """
     N, n = states.shape
     Sx = jnp.einsum("nij,nj->ni", S, states)
     xSx = jnp.sum(states * Sx, axis=-1, keepdims=True)
-    phi = jnp.concatenate([xSx, -2.0 * Sx, S.reshape(N, n * n)], axis=-1)
+    parts = [xSx, -2.0 * Sx, S.reshape(N, n * n)]
+    if wrap_dim is not None:
+        parts += [Sx[:, wrap_dim:wrap_dim + 1], S[:, wrap_dim, :]]
+    phi = jnp.concatenate(parts, axis=-1)
     F = feature_dim(n)
     return jnp.pad(phi, ((0, 0), (0, F - phi.shape[-1])))
 
 
 def cand_features(xrand, n):
-    """psi_b = [1, r, vec(r r')] rows, lane-padded: (B, F)."""
+    """psi_b = [1, r, vec(r r')] rows (c0 lanes), lane-padded: (B, F)."""
     B = xrand.shape[0]
     outer = (xrand[:, :, None] * xrand[:, None, :]).reshape(B, n * n)
     psi = jnp.concatenate(
@@ -76,57 +93,78 @@ def cand_features(xrand, n):
     return jnp.pad(psi, ((0, 0), (0, F - psi.shape[-1])))
 
 
-def _nn_kernel(size_ref, psi_ref, phi_ref, cand_ang_ref, node_ang_ref,
-               cost_ref, idx_ref, *, blk: int, wrapped: bool):
-    """One grid step: block matmul + wrap-select + running argmin merge.
+def cand_corr_features(xrand, n):
+    """psi2_b = [1, -r] on the wrap-correction lanes: (B, F)."""
+    B = xrand.shape[0]
+    base = 1 + n + n * n
+    F = feature_dim(n)
+    psi2 = jnp.zeros((B, F), xrand.dtype)
+    psi2 = psi2.at[:, base].set(1.0)
+    psi2 = psi2.at[:, base + 1:base + 1 + n].set(-xrand)
+    return psi2
 
-    psi_ref:      ((3 if wrapped else 1) * B, F) candidate features.
+
+def _nn_kernel(size_ref, psi_ref, phi_ref, cand_ang_ref, node_ang_ref,
+               node_saa_ref, cost_ref, idx_ref, *, blk: int, wrapped: bool):
+    """One grid step: block matmul + wrap correction + running argmin merge.
+
+    psi_ref:      ((2 if wrapped else 1) * B, F) candidate features; rows
+                  [B, 2B) are the wrap-correction group.
     phi_ref:      (blk, F) node-feature block for this grid step.
     cand_ang_ref: (1, B) candidate angles (zeros when not wrapped).
-    node_ang_ref: (nblocks, blk) ALL node angles, row-indexed by program_id
-                  (whole-array residency: tiny, and TPU block specs require
-                  sublane-aligned or full-dim blocks).
+    node_ang_ref / node_saa_ref: (nblocks, blk) ALL node angles / S_aa,
+                  row-indexed by program_id (whole-array residency: tiny, and
+                  TPU block specs need sublane-aligned or full-dim blocks).
     cost/idx:     (B, 1) running best, revisited every grid step.
     """
     i = pl.program_id(0)
-    n_shift = 3 if wrapped else 1
-    B = psi_ref.shape[0] // n_shift
+    n_grp = 2 if wrapped else 1
+    B = psi_ref.shape[0] // n_grp
 
     @pl.when(i == 0)
     def _():
         cost_ref[:] = jnp.full_like(cost_ref, _INF)
         idx_ref[:] = jnp.zeros_like(idx_ref)
 
-    # ((n_shift*B), F) @ (blk, F)' on the MXU.  HIGHEST precision (multi-pass
-    # f32) is required: the bilinear expansion x'Sx - 2r'Sx + r'Sr cancels
-    # catastrophically for near nodes, and the TPU's default single-pass
-    # bf16 matmul loses the small distances that decide the argmin.
-    c_all = jax.lax.dot_general(
-        psi_ref[:], phi_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)           # (n_shift*B, blk)
+    # Skip blocks entirely past the live region: early in a replan the tree
+    # holds a few hundred nodes of a 32k capacity, so most grid steps do
+    # zero compute (the masking below already guarantees correctness for the
+    # partially-live boundary block).
+    @pl.when(i * blk < size_ref[0])
+    def _():
+        # (n_grp*B, F) @ (blk, F)' on the MXU.  HIGHEST precision (multi-
+        # pass f32) is required: the bilinear expansion x'Sx - 2r'Sx + r'Sr
+        # cancels catastrophically for near nodes, and the TPU's default
+        # single-pass bf16 matmul loses the small distances that decide the
+        # argmin.
+        out = jax.lax.dot_general(
+            psi_ref[:], phi_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)       # (n_grp*B, blk)
 
-    if wrapped:
-        # pick the shift that lands the angle difference in [-pi, pi)
-        r_a = cand_ang_ref[0, :]                       # (B,)
-        x_a = node_ang_ref[i, :]                       # (blk,)
-        k = jnp.round((x_a[None, :] - r_a[:, None]) / _TWO_PI)  # (B, blk)
-        c = jnp.where(k <= -1.0, c_all[:B],            # r shifted by -2pi
-            jnp.where(k >= 1.0, c_all[2 * B:],         # r shifted by +2pi
-                      c_all[B:2 * B]))                 # unshifted
-    else:
-        c = c_all
+        if wrapped:
+            c0 = out[:B]
+            g = out[B:]                                # (S e0)_a per pair
+            r_a = cand_ang_ref[0, :]                   # (B,)
+            x_a = node_ang_ref[i, :]                   # (blk,)
+            s_aa = node_saa_ref[i, :]                  # (blk,)
+            k = jnp.round((x_a[None, :] - r_a[:, None]) / _TWO_PI)
+            c = (c0 - (2.0 * _TWO_PI) * k * g
+                 + (_TWO_PI * _TWO_PI) * (k * k) * s_aa[None, :])
+        else:
+            c = out
 
-    node_idx = i * blk + jax.lax.broadcasted_iota(jnp.int32, (B, blk), 1)
-    c = jnp.where(node_idx < size_ref[0], c, _INF)
+        node_idx = i * blk + jax.lax.broadcasted_iota(
+            jnp.int32, (B, blk), 1)
+        c = jnp.where(node_idx < size_ref[0], c, _INF)
 
-    bc = jnp.min(c, axis=1, keepdims=True)             # (B, 1)
-    bi = (i * blk
-          + jnp.argmin(c, axis=1).astype(jnp.int32)[:, None])
-    take = bc < cost_ref[:]
-    idx_ref[:] = jnp.where(take, bi, idx_ref[:])
-    cost_ref[:] = jnp.where(take, bc, cost_ref[:])
+        bc = jnp.min(c, axis=1, keepdims=True)         # (B, 1)
+        bi = (i * blk
+              + jnp.argmin(c, axis=1).astype(jnp.int32)[:, None])
+        take = bc < cost_ref[:]
+        idx_ref[:] = jnp.where(take, bi, idx_ref[:])
+        cost_ref[:] = jnp.where(take, bc, cost_ref[:])
 
 
 @functools.partial(
@@ -138,7 +176,8 @@ def nearest_pallas(states, S, size, xrand, *, block: int = 1024,
     states: (N, n); S: (N, n, n); size: () int; xrand: (B, n).
     N must be a multiple of ``block``; invalid rows (>= size) are masked in
     the kernel.  ``wrap_dim``: optional single angle dim handled exactly via
-    shifted-candidate selection (see module docstring).
+    the closed-form shift correction (see module docstring; assumes S
+    symmetric, as LQR cost-to-go matrices are).
     """
     N, n = states.shape
     B = xrand.shape[0]
@@ -158,27 +197,26 @@ def nearest_pallas(states, S, size, xrand, *, block: int = 1024,
     states = states - center
     xrand = xrand - center
 
-    phi = node_features(states, S)                     # (N, F)
+    phi = node_features(states, S, wrap_dim)           # (N, F)
     if wrapped:
-        shift = jnp.zeros((n,), xrand.dtype).at[wrap_dim].set(_TWO_PI)
-        psi = jnp.concatenate([
-            cand_features(xrand - shift, n),           # k = -1
-            cand_features(xrand, n),                   # k =  0
-            cand_features(xrand + shift, n)], axis=0)  # k = +1
+        psi = jnp.concatenate([cand_features(xrand, n),
+                               cand_corr_features(xrand, n)], axis=0)
         cand_ang = xrand[:, wrap_dim][None, :]         # (1, B)
         node_ang = states[:, wrap_dim].reshape(nblocks, blk)
+        node_saa = S[:, wrap_dim, wrap_dim].reshape(nblocks, blk)
     else:
         psi = cand_features(xrand, n)
         cand_ang = jnp.zeros((1, B), jnp.float32)
         node_ang = jnp.zeros((nblocks, blk), jnp.float32)
+        node_saa = jnp.zeros((nblocks, blk), jnp.float32)
 
-    n_shift = 3 if wrapped else 1
+    n_grp = 2 if wrapped else 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,                         # size
         grid=(nblocks,),
         # index maps take (grid indices..., scalar-prefetch refs...)
         in_specs=[
-            pl.BlockSpec((n_shift * B, F), lambda i, s: (0, 0),
+            pl.BlockSpec((n_grp * B, F), lambda i, s: (0, 0),
                          memory_space=pltpu.VMEM),     # psi (whole)
             pl.BlockSpec((blk, F), lambda i, s: (i, 0),
                          memory_space=pltpu.VMEM),     # phi block
@@ -186,6 +224,8 @@ def nearest_pallas(states, S, size, xrand, *, block: int = 1024,
                          memory_space=pltpu.VMEM),     # candidate angles
             pl.BlockSpec((nblocks, blk), lambda i, s: (0, 0),
                          memory_space=pltpu.VMEM),     # all node angles
+            pl.BlockSpec((nblocks, blk), lambda i, s: (0, 0),
+                         memory_space=pltpu.VMEM),     # all node S_aa
         ],
         out_specs=[
             pl.BlockSpec((B, 1), lambda i, s: (0, 0),
@@ -202,11 +242,12 @@ def nearest_pallas(states, S, size, xrand, *, block: int = 1024,
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * n_shift * B * N * F,
-            bytes_accessed=(n_shift * B * F + N * F + N) * 4 + B * 8,
+            flops=2 * n_grp * B * N * F,
+            bytes_accessed=(n_grp * B * F + N * F + 2 * N) * 4 + B * 8,
             transcendentals=0),
         interpret=interpret,
-    )(jnp.asarray(size, jnp.int32).reshape(1), psi, phi, cand_ang, node_ang)
+    )(jnp.asarray(size, jnp.int32).reshape(1), psi, phi, cand_ang, node_ang,
+      node_saa)
 
     return idx[:, 0], cost[:, 0]
 

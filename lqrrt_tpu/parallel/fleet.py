@@ -60,7 +60,10 @@ class FleetPlanner:
         self.trees: Optional[TreeArrays] = None  # scenario-leading pytree
 
     def _build(self, nstates: int, ncontrols: int):
-        self.spec = self.spec._replace(nstates=nstates, ncontrols=ncontrols)
+        blk = min(self.spec.nn_block, self.spec.capacity)
+        slack = -(-self.spec.batch // blk) * blk  # dense-commit spare rows
+        self.spec = self.spec._replace(nstates=nstates, ncontrols=ncontrols,
+                                       slack=slack)
         wrap_mask = None
         if self._mk["wrap_dims"]:
             wrap_mask = np.zeros(nstates, bool)
@@ -99,7 +102,8 @@ class FleetPlanner:
             in_goal0 = jnp.all(jnp.abs(e0) <= self.goal_buffer)
             g0 = e0 @ S0 @ e0
             return init_tree(self.spec.capacity, self.spec.horizon_steps,
-                             nstates, ncontrols, x0, S0, K0, g0, in_goal0)
+                             nstates, ncontrols, x0, S0, K0, g0, in_goal0,
+                             slack=self.spec.slack)
         self._vseed = jax.jit(jax.vmap(seed_one))
 
     def plan(self, x0s, goals, sample_spaces, goal_bias, rounds: int = 10):

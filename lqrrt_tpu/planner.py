@@ -87,9 +87,11 @@ class Planner:
         self.nn_block = int(nn_block)
         if capacity is None:
             capacity = min(self.max_nodes, 32768)
-        # capacity rounded up to a multiple of the NN block for clean tiling
+        # capacity rounded up to a multiple of the NN block for clean tiling;
+        # slack rows (also block-aligned) enable the scatter-free dense commit
         blk = min(self.nn_block, capacity)
         self.capacity = -(-int(capacity) // blk) * blk
+        self.slack = -(-self.batch_size // blk) * blk
         self.wrap_dims = tuple(wrap_dims)
         self.rounds_per_chunk = max(int(rounds_per_chunk), 1)
         self.nn_impl = nn_impl
@@ -183,7 +185,8 @@ class Planner:
         spec = RoundSpec(
             nstates=self.nstates, ncontrols=self.ncontrols,
             batch=self.batch_size, horizon_steps=self.horizon_steps,
-            capacity=self.capacity, dt=self.dt, nn_block=self.nn_block)
+            capacity=self.capacity, dt=self.dt, nn_block=self.nn_block,
+            slack=self.slack)
         wrap_mask = self._wrap_mask()
         nearest_fn = self._nearest_override()
         common = dict(wrap_mask=wrap_mask, saturate=self.saturate,
@@ -246,7 +249,7 @@ class Planner:
                 g0 = e0 @ S0 @ e0
                 return init_tree(self.capacity, self.horizon_steps,
                                  self.nstates, self.ncontrols, x0, S0, K0,
-                                 g0, in_goal0)
+                                 g0, in_goal0, slack=self.slack)
             self._seed_tree_jit = jax.jit(seed_tree)
         return self._seed_tree_jit
 

@@ -135,3 +135,47 @@ def test_wrap_angle():
     np.testing.assert_allclose(float(wrap_angle(-jnp.pi - 0.1)),
                                jnp.pi - 0.1, atol=1e-6)
     np.testing.assert_allclose(float(wrap_angle(0.3)), 0.3, atol=1e-7)
+
+
+def test_dense_commit_matches_scatter_commit():
+    """commit_batch_dense (sort + dynamic_update_slice) must agree with the
+    scatter commit on the valid region for any mix of valid/invalid/overflow
+    candidates."""
+    from lqrrt_tpu.core.commit import commit_batch, commit_batch_dense
+    from lqrrt_tpu.core.tree import init_tree
+
+    N, H, n, m, B = 16, 4, 3, 2, 8
+    rng = np.random.default_rng(0)
+    x0 = jnp.zeros(n)
+    S0 = jnp.eye(n)
+    K0 = jnp.zeros((m, n))
+    t_sc = init_tree(N, H, n, m, x0, S0, K0, 5.0, False)
+    t_de = init_tree(N, H, n, m, x0, S0, K0, 5.0, False, slack=B)
+    # pre-grow both to size 13 so the batch overflows the capacity of 16
+    size0 = 13
+    t_sc = t_sc._replace(size=jnp.asarray(size0))
+    t_de = t_de._replace(size=jnp.asarray(size0))
+
+    pids = jnp.asarray(rng.integers(0, size0, B).astype(np.int32))
+    length = jnp.asarray([0, 2, 4, 0, 1, 3, 2, 1], np.int32)  # 2 invalid
+    x_seq = jnp.asarray(rng.normal(size=(B, H, n)).astype(np.float32))
+    u_seq = jnp.asarray(rng.normal(size=(B, H, m)).astype(np.float32))
+    xnew = jnp.asarray(rng.normal(size=(B, n)).astype(np.float32))
+    S_new = jnp.tile(jnp.eye(n)[None], (B, 1, 1))
+    K_new = jnp.zeros((B, m, n))
+    in_goal = jnp.asarray([False, False, True, False, False, False, False,
+                           False])
+    gcost = jnp.asarray(rng.uniform(1, 9, B).astype(np.float32))
+
+    out_sc = commit_batch(t_sc, 0.1, pids, length, x_seq, u_seq, xnew,
+                          S_new, K_new, in_goal, gcost)
+    out_de = commit_batch_dense(t_de, 0.1, N, pids, length, x_seq, u_seq,
+                                xnew, S_new, K_new, in_goal, gcost)
+    assert int(out_sc.size) == int(out_de.size) == 16   # 13 + 3 of 6 valid
+    assert bool(out_sc.goal_found) == bool(out_de.goal_found)
+    sz = int(out_sc.size)
+    for f in ("state", "parent", "edge_len", "node_time", "goal_cost",
+              "in_goal", "edge_x", "edge_u"):
+        a = np.asarray(getattr(out_sc, f))[:sz]
+        b = np.asarray(getattr(out_de, f))[:sz]
+        np.testing.assert_array_equal(a, b, err_msg=f)
