@@ -1,0 +1,124 @@
+"""Multi-device scaling benchmark (BASELINE north star: >=80% efficiency at
+2 hosts; P1/P2/P4 of SURVEY.md section 2.4).
+
+Measures aggregate expansions/s at 1, 2, 4, ... devices for
+  (a) the candidate-sharded round (tree replicated, batch sharded over "dp",
+      all-gather best-edge collective), and
+  (b) the scenario-sharded fleet (pure DP, zero cross-scenario comms).
+
+On a real pod slice run it as-is per host after jax.distributed bring-up
+(parallel.mesh.init_distributed).  Without one, validate the plumbing on a
+virtual mesh:
+
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+  python bench_scaling.py --virtual-cpu
+
+(virtual-CPU timings share one physical socket, so efficiency numbers there
+are only smoke checks, not hardware results).  Prints one JSON line per
+device count.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--virtual-cpu", action="store_true",
+                    help="force an 8-device virtual CPU mesh (plumbing check)")
+    ap.add_argument("--rounds", type=int, default=16)
+    ap.add_argument("--batch-per-device", type=int, default=256)
+    ap.add_argument("--scenarios-per-device", type=int, default=8)
+    ap.add_argument("--capacity", type=int, default=4096)
+    args = ap.parse_args()
+
+    if args.virtual_cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lqrrt_tpu.core.rounds import RoundSpec
+    from lqrrt_tpu.core.tree import init_tree
+    from lqrrt_tpu.models import boat
+    from lqrrt_tpu.parallel import mesh as meshlib
+    from lqrrt_tpu.parallel.fleet import FleetPlanner
+    from lqrrt_tpu.parallel.sharded import make_sharded_round, replicate_tree
+
+    prob = boat.default_problem()
+    S0, K0 = prob["lqr"](None, None)
+    wrap_mask = np.zeros(6, bool)
+    wrap_mask[2] = True
+    n_avail = jax.device_count()
+    counts = [c for c in (1, 2, 4, 8, 16, 32) if c <= n_avail]
+    results = {}
+
+    for n_dev in counts:
+        # ---- (a) candidate-sharded round ----
+        B = args.batch_per_device * n_dev
+        mesh = meshlib.make_mesh(n_dev)
+        spec = RoundSpec(6, 3, B, 40, args.capacity, prob["dt"],
+                         nn_block=min(1024, args.capacity))
+        rf = jax.jit(make_sharded_round(
+            spec, mesh, prob["dynamics"], prob["lqr"], prob["erf"],
+            prob["constraints"].is_feasible, 0.05,
+            prob["constraints"].goal_buffer, wrap_mask=wrap_mask,
+            saturate=prob["saturate"]), donate_argnums=(0,))
+
+        def run_round(reps):
+            tree = replicate_tree(
+                init_tree(args.capacity, 40, 6, 3, jnp.asarray(prob["x0"]),
+                          S0, K0, 1e9, False), mesh)
+            goal = jnp.asarray(prob["goal"])
+            ss = jnp.asarray(prob["sample_space"])
+            gb = jnp.full((6,), 0.2)
+            t0 = time.perf_counter()
+            for r in range(reps):
+                tree = rf(tree, jax.random.fold_in(jax.random.PRNGKey(0), r),
+                          goal, ss, gb, goal)
+            jax.block_until_ready(tree.size)
+            return time.perf_counter() - t0
+
+        run_round(2)  # compile + warm
+        dt_round = min(run_round(args.rounds) for _ in range(2))
+        eps_round = B * args.rounds / dt_round
+
+        # ---- (b) scenario-sharded fleet ----
+        S = args.scenarios_per_device * n_dev
+        fleet = FleetPlanner(
+            prob["dynamics"], prob["lqr"], prob["erf"],
+            prob["constraints"].is_feasible, prob["constraints"].goal_buffer,
+            horizon=2.0, dt=prob["dt"], n_scenarios=S,
+            batch_size=args.batch_per_device, capacity=1024,
+            saturate=prob["saturate"], wrap_dims=(2,),
+            mesh=meshlib.make_fleet_mesh(n_dev))
+        x0s = np.tile(np.asarray(prob["x0"]), (S, 1))
+        goals = np.tile(np.asarray(prob["goal"]), (S, 1))
+        fleet.plan(x0s, goals, prob["sample_space"], 0.2, rounds=1)  # warm
+        t0 = time.perf_counter()
+        st = fleet.plan(x0s, goals, prob["sample_space"], 0.2,
+                        rounds=args.rounds)
+        dt_fleet = time.perf_counter() - t0
+        eps_fleet = st["expansions"] / dt_fleet
+
+        results[n_dev] = (eps_round, eps_fleet)
+        base_r, base_f = results[counts[0]]
+        print(json.dumps({
+            "devices": n_dev,
+            "sharded_round_expansions_per_s": round(eps_round),
+            "fleet_expansions_per_s": round(eps_fleet),
+            "sharded_round_scaling_eff": round(
+                eps_round / (base_r * n_dev / counts[0]), 3),
+            "fleet_scaling_eff": round(
+                eps_fleet / (base_f * n_dev / counts[0]), 3),
+            "platform": jax.devices()[0].platform,
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
