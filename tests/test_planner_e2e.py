@@ -167,3 +167,27 @@ def test_specific_time_budget():
                         pruning=False, specific_time=0.5)
     # second call is compile-cache warm; budget should be ~respected
     assert _time.time() - t0 < 5.0
+
+
+def test_fpr_warm_start_replans():
+    """FPR > 0 resamples part of each batch from the previous committed plan
+    (SURVEY.md 3.1 note: FPR semantics reconstructed as fraction-of-plan-
+    retention).  Both the first call (straight-line pseudo-plan) and warm
+    replans must work from ONE compiled chunk variant."""
+    prob = di.default_problem()
+    planner = lqrrt_tpu.Planner(
+        prob["dynamics"], prob["lqr"], prob["constraints"],
+        horizon=prob["horizon"], dt=prob["dt"], goal0=prob["goal"],
+        min_time=0.0, max_time=20.0, printing=False, FPR=0.4,
+        batch_size=64, capacity=1024, nn_block=256, seed=11,
+        saturate=prob["saturate"])
+    r1 = planner.update_plan(prob["x0"], prob["sample_space"], goal_bias=0.15)
+    assert r1, planner.stats
+    first_plan = planner.x_seq.copy()
+    # replan from 1 s along the committed plan: the warm start biases toward
+    # the previous plan's corridor
+    x1 = planner.get_state(1.0)
+    r2 = planner.update_plan(x1, prob["sample_space"], goal_bias=0.15)
+    assert r2, planner.stats
+    assert len(planner._chunk_cache) == 1   # one compiled variant serves both
+    assert planner.x_seq is not first_plan
