@@ -50,7 +50,7 @@ def bench_oracle(prob, budget_s=3.0):
     return stats["expansions_per_s"]
 
 
-def bench_tpu(prob, budget_s=1.0, batch=1024, capacity=32768, repeats=3):
+def bench_tpu(prob, budget_s=1.0, batch=4096, capacity=32768, repeats=3):
     import lqrrt_tpu
 
     planner = lqrrt_tpu.Planner(
@@ -58,9 +58,10 @@ def bench_tpu(prob, budget_s=1.0, batch=1024, capacity=32768, repeats=3):
         horizon=prob["horizon"], dt=prob["dt"], goal0=prob["goal"],
         printing=False, batch_size=batch, capacity=capacity,
         wrap_dims=prob["wrap_dims"], saturate=prob["saturate"], seed=0)
-    # warm the jit cache (compile excluded from the timed budget)
+    # warm the jit cache (compile excluded from the timed budget); pruning
+    # on so the shortcut-steer program compiles here, not in the p50 runs
     planner.update_plan(prob["x0"], prob["sample_space"], goal_bias=0.0,
-                        specific_time=0.05, pruning=False)
+                        specific_time=0.05, pruning=True)
     eps, lats, goals = [], [], 0
     for r in range(repeats):
         planner._key = __import__("jax").random.PRNGKey(100 + r)

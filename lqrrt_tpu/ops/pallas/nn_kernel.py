@@ -104,22 +104,28 @@ def cand_corr_features(xrand, n):
     return psi2
 
 
-def _nn_kernel(size_ref, psi_ref, phi_ref, cand_ang_ref, node_ang_ref,
-               node_saa_ref, cost_ref, idx_ref, *, blk: int, wrapped: bool):
-    """One grid step: block matmul + wrap correction + running argmin merge.
+def _nn_kernel(size_ref, psi_ref, psi2_ref, phi_ref, cand_ang_ref,
+               node_ang_ref, node_saa_ref, cost_ref, idx_ref, *, blk: int,
+               wrapped: bool):
+    """One (candidate-tile, node-block) grid step: block matmul + wrap
+    correction + running argmin merge.
 
-    psi_ref:      ((2 if wrapped else 1) * B, F) candidate features; rows
-                  [B, 2B) are the wrap-correction group.
+    Grid is (nb_B, nblocks) with the node axis MINOR, so each candidate
+    tile's (cost, idx) output block is revisited across consecutive steps
+    (the standard Pallas accumulator pattern).
+
+    psi_ref / psi2_ref: (Bt, F) candidate main / wrap-correction features of
+                  THIS candidate tile (psi2 unused when not wrapped).
     phi_ref:      (blk, F) node-feature block for this grid step.
-    cand_ang_ref: (1, B) candidate angles (zeros when not wrapped).
+    cand_ang_ref: (1, Bt) candidate angles (zeros when not wrapped).
     node_ang_ref / node_saa_ref: (nblocks, blk) ALL node angles / S_aa,
-                  row-indexed by program_id (whole-array residency: tiny, and
-                  TPU block specs need sublane-aligned or full-dim blocks).
-    cost/idx:     (B, 1) running best, revisited every grid step.
+                  row-indexed by the node program id (whole-array residency:
+                  tiny, and TPU block specs need sublane-aligned or full-dim
+                  blocks).
+    cost/idx:     (Bt, 1) running best for this candidate tile.
     """
-    i = pl.program_id(0)
-    n_grp = 2 if wrapped else 1
-    B = psi_ref.shape[0] // n_grp
+    i = pl.program_id(1)                               # node block (minor)
+    Bt = psi_ref.shape[0]
 
     @pl.when(i == 0)
     def _():
@@ -132,34 +138,33 @@ def _nn_kernel(size_ref, psi_ref, phi_ref, cand_ang_ref, node_ang_ref,
     # partially-live boundary block).
     @pl.when(i * blk < size_ref[0])
     def _():
-        # (n_grp*B, F) @ (blk, F)' on the MXU.  HIGHEST precision (multi-
-        # pass f32) is required: the bilinear expansion x'Sx - 2r'Sx + r'Sr
+        # (Bt, F) @ (blk, F)' on the MXU.  HIGHEST precision (multi-pass
+        # f32) is required: the bilinear expansion x'Sx - 2r'Sx + r'Sr
         # cancels catastrophically for near nodes, and the TPU's default
         # single-pass bf16 matmul loses the small distances that decide the
         # argmin.
-        out = jax.lax.dot_general(
-            psi_ref[:], phi_ref[:],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)       # (n_grp*B, blk)
+        def dot(a):
+            return jax.lax.dot_general(
+                a, phi_ref[:],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)   # (Bt, blk)
 
+        c = dot(psi_ref[:])
         if wrapped:
-            c0 = out[:B]
-            g = out[B:]                                # (S e0)_a per pair
-            r_a = cand_ang_ref[0, :]                   # (B,)
+            g = dot(psi2_ref[:])                       # (S e0)_a per pair
+            r_a = cand_ang_ref[0, :]                   # (Bt,)
             x_a = node_ang_ref[i, :]                   # (blk,)
             s_aa = node_saa_ref[i, :]                  # (blk,)
             k = jnp.round((x_a[None, :] - r_a[:, None]) / _TWO_PI)
-            c = (c0 - (2.0 * _TWO_PI) * k * g
+            c = (c - (2.0 * _TWO_PI) * k * g
                  + (_TWO_PI * _TWO_PI) * (k * k) * s_aa[None, :])
-        else:
-            c = out
 
         node_idx = i * blk + jax.lax.broadcasted_iota(
-            jnp.int32, (B, blk), 1)
+            jnp.int32, (Bt, blk), 1)
         c = jnp.where(node_idx < size_ref[0], c, _INF)
 
-        bc = jnp.min(c, axis=1, keepdims=True)         # (B, 1)
+        bc = jnp.min(c, axis=1, keepdims=True)         # (Bt, 1)
         bi = (i * blk
               + jnp.argmin(c, axis=1).astype(jnp.int32)[:, None])
         take = bc < cost_ref[:]
@@ -181,11 +186,23 @@ def nearest_pallas(states, S, size, xrand, *, block: int = 1024,
     """
     N, n = states.shape
     B = xrand.shape[0]
-    blk = min(block, N)
-    assert N % blk == 0, f"capacity {N} not a multiple of block {blk}"
+    wrapped = wrap_dim is not None
+    # 2-D tiling keeps per-step VMEM bounded for any batch/capacity: the
+    # candidate axis tiles at Bt <= 1024 and the node axis at blk <= block,
+    # so the live buffers (two (Bt, blk) cost planes + features) stay a few
+    # MB regardless of problem size.
+    def pick(total, base, cap):
+        cands = [b for b in (base << i for i in range(16))
+                 if b <= total and total % b == 0] or [total]
+        fitting = [b for b in cands if b <= cap]
+        return max(fitting) if fitting else min(cands)
+
+    Bt = pick(B, 8, 1024)
+    blk = pick(N, 128, block)
+    assert N % blk == 0 and B % Bt == 0, (N, blk, B, Bt)
     F = feature_dim(n)
     nblocks = N // blk
-    wrapped = wrap_dim is not None
+    nb_B = B // Bt
 
     # Center non-angle dims about the candidate-batch mean: the metric is
     # translation-invariant, and smaller |x|, |r| magnitudes cut the f32
@@ -198,39 +215,45 @@ def nearest_pallas(states, S, size, xrand, *, block: int = 1024,
     xrand = xrand - center
 
     phi = node_features(states, S, wrap_dim)           # (N, F)
+    psi = cand_features(xrand, n)                      # (B, F)
     if wrapped:
-        psi = jnp.concatenate([cand_features(xrand, n),
-                               cand_corr_features(xrand, n)], axis=0)
+        psi2 = cand_corr_features(xrand, n)            # (B, F)
         cand_ang = xrand[:, wrap_dim][None, :]         # (1, B)
         node_ang = states[:, wrap_dim].reshape(nblocks, blk)
         node_saa = S[:, wrap_dim, wrap_dim].reshape(nblocks, blk)
     else:
-        psi = cand_features(xrand, n)
+        psi2 = jnp.zeros((8, F), jnp.float32)          # placeholder operand
         cand_ang = jnp.zeros((1, B), jnp.float32)
         node_ang = jnp.zeros((nblocks, blk), jnp.float32)
         node_saa = jnp.zeros((nblocks, blk), jnp.float32)
 
+    psi2_bt = Bt if wrapped else 8
     n_grp = 2 if wrapped else 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,                         # size
-        grid=(nblocks,),
+        # node axis MINOR: each candidate tile's output block accumulates
+        # across consecutive node-block steps
+        grid=(nb_B, nblocks),
         # index maps take (grid indices..., scalar-prefetch refs...)
         in_specs=[
-            pl.BlockSpec((n_grp * B, F), lambda i, s: (0, 0),
-                         memory_space=pltpu.VMEM),     # psi (whole)
-            pl.BlockSpec((blk, F), lambda i, s: (i, 0),
+            pl.BlockSpec((Bt, F), lambda j, i, s: (j, 0),
+                         memory_space=pltpu.VMEM),     # psi tile
+            pl.BlockSpec((psi2_bt, F), lambda j, i, s: (j if wrapped else 0,
+                                                        0),
+                         memory_space=pltpu.VMEM),     # psi2 tile
+            pl.BlockSpec((blk, F), lambda j, i, s: (i, 0),
                          memory_space=pltpu.VMEM),     # phi block
-            pl.BlockSpec((1, B), lambda i, s: (0, 0),
+            pl.BlockSpec((1, Bt), lambda j, i, s: (0, j),
                          memory_space=pltpu.VMEM),     # candidate angles
-            pl.BlockSpec((nblocks, blk), lambda i, s: (0, 0),
+            pl.BlockSpec((nblocks, blk), lambda j, i, s: (0, 0),
                          memory_space=pltpu.VMEM),     # all node angles
-            pl.BlockSpec((nblocks, blk), lambda i, s: (0, 0),
+            pl.BlockSpec((nblocks, blk), lambda j, i, s: (0, 0),
                          memory_space=pltpu.VMEM),     # all node S_aa
         ],
         out_specs=[
-            pl.BlockSpec((B, 1), lambda i, s: (0, 0),
+            pl.BlockSpec((Bt, 1), lambda j, i, s: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 1), lambda i, s: (0, 0),
+            pl.BlockSpec((Bt, 1), lambda j, i, s: (j, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
@@ -243,11 +266,12 @@ def nearest_pallas(states, S, size, xrand, *, block: int = 1024,
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * n_grp * B * N * F,
-            bytes_accessed=(n_grp * B * F + N * F + 2 * N) * 4 + B * 8,
+            bytes_accessed=(n_grp * B * F + nb_B * N * F + 2 * N) * 4
+            + B * 8,
             transcendentals=0),
         interpret=interpret,
-    )(jnp.asarray(size, jnp.int32).reshape(1), psi, phi, cand_ang, node_ang,
-      node_saa)
+    )(jnp.asarray(size, jnp.int32).reshape(1), psi, psi2, phi, cand_ang,
+      node_ang, node_saa)
 
     return idx[:, 0], cost[:, 0]
 

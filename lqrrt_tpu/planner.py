@@ -116,6 +116,7 @@ class Planner:
         self._steer_jit = {}                       # batch size -> jitted steer
         self._seed_jit = None
         self._seed_tree_jit = None
+        self._extract_jit = None
 
         if goal0 is not None:
             self.set_goal(goal0)
@@ -410,13 +411,16 @@ class Planner:
             ID = int(parent[ID])
         chain = chain[::-1]
         self._last_chain = chain
-        # single gather + transfer for the chain's nodes and edges
-        ids = jnp.asarray(chain, jnp.int32)
-        edge_x = np.asarray(tree.edge_x[ids])
-        edge_u = np.asarray(tree.edge_u[ids])
-        edge_len = np.asarray(tree.edge_len[ids])
-        states = np.asarray(tree.state[ids])
-        gains = np.asarray(tree.K[ids])
+        # ONE jitted gather + ONE device->host transfer for the whole chain
+        # (separate per-array fetches pay a dispatch round trip each, which
+        # dominates extraction latency on remotely-attached devices)
+        if self._extract_jit is None:
+            self._extract_jit = jax.jit(lambda t, ids: (
+                t.state[ids], t.K[ids], t.edge_x[ids], t.edge_u[ids],
+                t.edge_len[ids]))
+        out = self._extract_jit(tree, jnp.asarray(chain, jnp.int32))
+        states, gains, edge_x, edge_u, edge_len = (
+            np.asarray(a) for a in jax.device_get(out))
         self._last_edges = (states, gains, edge_x, edge_u, edge_len)
         xs = [states[0][None, :]]
         us = []
