@@ -90,6 +90,9 @@ def bench_tpu(prob, budget_s=1.0, batch=4096, capacity=32768, repeats=3):
 
 def main():
     import jax
+    from lqrrt_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache(os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), ".jax_cache"))
     dev = jax.devices()[0]
     log(f"device: {dev} ({dev.platform})")
     from lqrrt_tpu.models import boat

@@ -20,6 +20,10 @@ import jax            # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 import lqrrt_tpu      # noqa: E402
+from lqrrt_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache(os.path.join(os.path.dirname(
+    os.path.abspath(__file__)), "..", ".jax_cache"))
 
 
 def build_planner(prob, seed=0, **overrides):

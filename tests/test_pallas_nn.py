@@ -87,3 +87,22 @@ def test_planner_pallas_impl_runs_end_to_end():
                                   goal_bias=0.2, specific_time=60.0)
     assert reached
     assert planner.x_seq.shape[1] == prob["constraints"].nstates
+
+
+def test_pallas_multi_tile_candidates():
+    """B > 1024 exercises the 2-D grid's candidate-tile axis (nb_B > 1)."""
+    rng = np.random.default_rng(4)
+    N2, B2 = 128, 2048
+    states = jnp.asarray(rng.uniform(-3, 3, (N2, n)).astype(np.float32))
+    A = rng.normal(size=(N2, n, n)).astype(np.float32)
+    S = jnp.asarray(np.einsum("nij,nkj->nik", A, A)
+                    + 0.1 * np.eye(n, dtype=np.float32))
+    xr = jnp.asarray(rng.uniform(-3, 3, (B2, n)).astype(np.float32))
+    erf = make_erf(n)
+    ids_ref, cost_ref = make_nearest(erf, block=128)(
+        states, S, jnp.asarray(100), xr)
+    ids, cost = nearest_pallas(states, S, jnp.asarray(100), xr,
+                               block=128, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(ids_ref))
+    np.testing.assert_allclose(np.asarray(cost), np.asarray(cost_ref),
+                               rtol=1e-4, atol=1e-3)
