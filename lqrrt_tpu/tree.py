@@ -61,14 +61,24 @@ class Tree:
 
     @classmethod
     def from_device_arrays(cls, arrays) -> "Tree":
-        """Snapshot a core.tree.TreeArrays into a host Tree (trimmed edges)."""
+        """Snapshot a core.tree.TreeArrays into a host Tree (trimmed edges).
+
+        Fields are assembled directly (one device_get, one state copy) —
+        replaying add_node would vstack per node, O(size^2) copies for a
+        32k-node tree."""
         import jax
         host = jax.device_get(arrays)
         size = int(host.size)
         t = cls(host.state[0], (host.S[0], host.K[0]))
-        for i in range(1, size):
-            ln = int(host.edge_len[i])
-            t.add_node(int(host.parent[i]), host.state[i],
-                       (host.S[i], host.K[i]),
-                       host.edge_x[i][:ln], host.edge_u[i][:ln])
+        t.state = np.asarray(host.state[:size], np.float32).copy()
+        t.lqr = [(host.S[i], host.K[i]) for i in range(size)]
+        lens = [int(host.edge_len[i]) for i in range(size)]
+        t.x_seq = [t.state[:1].copy()] + [
+            np.asarray(host.edge_x[i][:lens[i]], np.float32)
+            for i in range(1, size)]
+        t.u_seq = [np.zeros((0, 0), np.float32)] + [
+            np.asarray(host.edge_u[i][:lens[i]], np.float32)
+            for i in range(1, size)]
+        t.pID = [-1] + [int(p) for p in host.parent[1:size]]
+        t.size = size
         return t

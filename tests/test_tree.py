@@ -70,3 +70,34 @@ def test_valid_mask():
                      goal_cost0=1.0, in_goal0=False)
     np.testing.assert_array_equal(np.asarray(tree.valid_mask()),
                                   [True] + [False] * 7)
+
+
+def test_host_tree_snapshot_consistent():
+    """Planner.get_tree snapshots the device SoA into the reference-shaped
+    host Tree: climb + trajectory must reconstruct a consistent branch."""
+    import lqrrt_tpu
+    from lqrrt_tpu.models import double_integrator as di
+
+    prob = di.default_problem()
+    planner = lqrrt_tpu.Planner(
+        prob["dynamics"], prob["lqr"], prob["constraints"],
+        horizon=prob["horizon"], dt=prob["dt"], goal0=prob["goal"],
+        min_time=0.0, max_time=10.0, printing=False, batch_size=32,
+        capacity=256, nn_block=128, seed=4)
+    planner.update_plan(prob["x0"], prob["sample_space"], goal_bias=0.2,
+                        specific_time=1.0, pruning=False)
+    t = planner.get_tree()
+    assert t.size > 1
+    assert len(t.pID) == t.size == len(t.x_seq) == len(t.lqr)
+    np.testing.assert_allclose(t.state[0], np.asarray(prob["x0"]), atol=1e-6)
+    # every node's incoming edge ends at the node's state
+    for i in range(1, t.size):
+        assert 0 <= t.pID[i] < i or t.pID[i] >= 0
+        np.testing.assert_allclose(t.x_seq[i][-1], t.state[i], atol=1e-5)
+    # climb from the last node reaches the root
+    chain = t.climb(t.size - 1)
+    assert chain[0] == 0 and chain[-1] == t.size - 1
+    xs, us = t.trajectory(chain)
+    np.testing.assert_allclose(xs[-1], t.state[t.size - 1], atol=1e-5)
+    assert len(xs) == len(us) + sum(1 for ID in chain if ID == 0) \
+        or len(xs) >= len(us)
