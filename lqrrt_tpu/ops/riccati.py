@@ -170,11 +170,19 @@ def _cpu_device():
 
 
 def care_lqr_host(A, B, Q, R) -> Tuple[Array, Array]:
-    """Eager (setup-time) CARE + gain on the CPU backend."""
+    """Eager (setup-time) CARE + gain on the CPU backend.
+
+    Inputs stay host numpy until inside the CPU-device scope: a jnp.asarray
+    outside it would commit each operand to the DEFAULT backend (a remotely
+    attached TPU pays a tunnel round trip per put, and the CPU jit then pays
+    cross-backend device-to-host transfers to get them back — observed as
+    minutes of setup time on slow tunnels).
+    """
+    import numpy as _np
     dev = _cpu_device()
-    args = [jnp.asarray(x, jnp.float32) for x in (A, B, Q, R)]
+    args = [_np.asarray(x, _np.float32) for x in (A, B, Q, R)]
     if dev is None:
-        return care_lqr(*args)
+        return care_lqr(*[jnp.asarray(a) for a in args])
     with jax.default_device(dev):
         S, K = jax.jit(care_lqr)(*args)
         return jax.device_get(S), jax.device_get(K)
@@ -188,15 +196,18 @@ def lqr_setup(f: Callable, x_eq, u_eq, Q, R) -> Tuple[Array, Array]:
     turning a 6x6 setup solve into minutes.  One jitted CPU program avoids
     the whole class of problem.
     """
+    import numpy as _np
     dev = _cpu_device()
-    args = [jnp.asarray(v, jnp.float32) for v in (x_eq, u_eq, Q, R)]
+    # numpy args: committing operands to a remote default backend here costs
+    # tunnel round trips plus cross-backend transfers (see care_lqr_host)
+    args = [_np.asarray(v, _np.float32) for v in (x_eq, u_eq, Q, R)]
 
     def prog(x, u, Q, R):
         A, B = linearize(f, x, u)
         return care_lqr(A, B, Q, R)
 
     if dev is None:
-        return prog(*args)
+        return prog(*[jnp.asarray(a) for a in args])
     with jax.default_device(dev):
         S, K = jax.jit(prog)(*args)
         return jax.device_get(S), jax.device_get(K)

@@ -117,6 +117,7 @@ class Planner:
         self._seed_jit = None
         self._seed_tree_jit = None
         self._extract_jit = None
+        self._goal_cost_jit = None
 
         if goal0 is not None:
             self.set_goal(goal0)
@@ -265,16 +266,19 @@ class Planner:
             self._seed_jit = jax.jit(seed)
         return self._seed_jit
 
-    def _get_steer(self, batch: int):
-        """Jitted batched steer, cached per batch shape (pruning uses the
-        all-pairs batch; finish_on_goal a small tile)."""
-        if batch not in self._steer_jit:
+    def _get_steer(self, batch: int, steps: Optional[int] = None):
+        """Jitted batched steer, cached per (batch, horizon) shape (pruning
+        uses the all-pairs batch; finish_on_goal a small extended-horizon
+        tile)."""
+        steps = self.horizon_steps if steps is None else steps
+        key = (batch, steps)
+        if key not in self._steer_jit:
             steer = make_steer(self.dynamics, self.erf,
                                self.constraints.is_feasible,
-                               self.horizon_steps, self.dt, self.error_tol,
+                               steps, self.dt, self.error_tol,
                                saturate=self.saturate)
-            self._steer_jit[batch] = jax.jit(steer)
-        return self._steer_jit[batch]
+            self._steer_jit[key] = jax.jit(steer)
+        return self._steer_jit[key]
 
     # ------------------------------------------------------------ update_plan
 
@@ -511,20 +515,50 @@ class Planner:
         return x_seq, u_seq
 
     def _finish_on_goal(self, x_seq, u_seq):
-        """Attempt an exact terminal connection to the goal (reference
-        finish_on_goal=True / _steer(..., force_arrive=True), SURVEY.md C7)."""
-        steer = self._get_steer(_FINISH_BATCH)
+        """Force an exact terminal connection to the goal (reference
+        finish_on_goal=True / _steer(..., force_arrive=True), SURVEY.md C7).
+
+        The in-tree steers use the planning horizon, but a forced arrival is
+        a terminal maneuver: closing the last ~goal_buffer of error AND
+        killing velocity to error_tol precision routinely needs longer than
+        one horizon (a drag-limited boat takes many seconds to settle).  So
+        this steer runs at 3x horizon; if it still falls short of error_tol,
+        the best-improving prefix (the step whose S-weighted goal error is
+        smallest, if smaller than the current endpoint's) is appended — the
+        plan always ends at least as close to the goal as without it.
+        """
+        steer = self._get_steer(_FINISH_BATCH, steps=3 * self.horizon_steps)
         x_end = jnp.tile(jnp.asarray(x_seq[-1])[None, :], (_FINISH_BATCH, 1))
         Sg, Kg, _, _ = self._get_seed()(jnp.asarray(x_seq[-1]), self.goal,
                                         self.constraints.goal_buffer)
         res = steer(x_end, jnp.tile(Kg[None], (_FINISH_BATCH, 1, 1)),
                     jnp.tile(self.goal[None, :], (_FINISH_BATCH, 1)))
+        ln = int(np.asarray(res.length)[0])
         if bool(np.asarray(res.reached)[0]):
-            ln = int(np.asarray(res.length)[0])
-            x_seq = np.concatenate([x_seq, np.asarray(res.x_seq)[0][:ln]], 0)
+            cut = ln
+        elif ln >= 1:
+            # Best-improving prefix under the goal's S-weighted error norm,
+            # evaluated as ONE jitted program (an eager per-step erf loop
+            # would pay a device dispatch per rollout step).
+            if self._goal_cost_jit is None:
+                def goal_costs(xs, x_last, goal, S):
+                    e = jax.vmap(self.erf, in_axes=(None, 0))(goal, xs)
+                    costs = jnp.einsum("ti,ij,tj->t", e, S, e)
+                    e0 = self.erf(goal, x_last)
+                    return costs, e0 @ S @ e0
+                self._goal_cost_jit = jax.jit(goal_costs)
+            costs, cur = self._goal_cost_jit(
+                res.x_seq[0], jnp.asarray(x_seq[-1]), self.goal, Sg)
+            costs = np.asarray(costs)[:ln]
+            k = int(np.argmin(costs))
+            cut = k + 1 if costs[k] < float(cur) else 0
+        else:
+            cut = 0
+        if cut >= 1:
+            x_seq = np.concatenate([x_seq, np.asarray(res.x_seq)[0][:cut]], 0)
             u_seq = np.concatenate(
-                [u_seq, np.asarray(res.u_seq)[0][:ln]], 0) if len(u_seq) else \
-                np.asarray(res.u_seq)[0][:ln]
+                [u_seq, np.asarray(res.u_seq)[0][:cut]], 0) if len(u_seq) \
+                else np.asarray(res.u_seq)[0][:cut]
         return x_seq, u_seq
 
     # --------------------------------------------------- controller-facing API

@@ -191,3 +191,25 @@ def test_fpr_warm_start_replans():
     assert r2, planner.stats
     assert len(planner._chunk_cache) == 1   # one compiled variant serves both
     assert planner.x_seq is not first_plan
+
+
+def test_finish_on_goal_forces_exact_arrival():
+    """finish_on_goal must land the plan far inside the goal box — the
+    reference's force_arrive exact terminal connection (SURVEY.md C7).  The
+    terminal steer runs at an extended horizon; merely stopping at the goal
+    *buffer* boundary (the pre-fix behavior) fails this."""
+    prob = di.default_problem()
+    planner = lqrrt_tpu.Planner(
+        prob["dynamics"], prob["lqr"], prob["constraints"],
+        horizon=prob["horizon"], dt=prob["dt"], goal0=prob["goal"],
+        min_time=0.2, max_time=6.0, printing=False,
+        batch_size=64, capacity=2048, nn_block=256, seed=11,
+        saturate=prob.get("saturate"))
+    reached = planner.update_plan(prob["x0"], prob["sample_space"],
+                                  goal_bias=0.15, finish_on_goal=True)
+    assert reached
+    e = np.abs(np.asarray(prob["goal"]) - planner.x_seq[-1])
+    gb = np.asarray(prob["constraints"].goal_buffer)
+    # strictly tighter than the goal buffer: the exact connection converged
+    # to error_tol (or the best-improving prefix got well inside the box)
+    assert np.all(e <= 0.5 * gb), f"terminal error {e} vs buffer {gb}"
