@@ -50,7 +50,7 @@ def bench_oracle(prob, budget_s=3.0):
     return stats["expansions_per_s"]
 
 
-def bench_tpu(prob, budget_s=1.0, batch=4096, capacity=32768, repeats=3):
+def bench_tpu(prob, budget_s=1.0, batch=8192, capacity=32768, repeats=3):
     import lqrrt_tpu
 
     planner = lqrrt_tpu.Planner(
