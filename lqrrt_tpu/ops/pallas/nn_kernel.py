@@ -283,3 +283,161 @@ def make_nearest_pallas(block: int = 1024, wrap_dim: int | None = None,
         return nearest_pallas(states, S, size, xrand, block=block,
                               wrap_dim=wrap_dim, interpret=interpret)
     return nearest
+
+
+# ---------------------------------------------------------------------------
+# Constant-S specialization: exact VPU distance kernel
+# ---------------------------------------------------------------------------
+#
+# When the user's lqr(x, u) is state-independent (one cost-to-go S for the
+# whole tree — the reference's own boat/double-integrator demos precompute a
+# single CARE solution, SURVEY.md section 2.2), the metric factorizes through
+# the Cholesky whitening S = L L':
+#
+#     cost(b, j) = (x_j - r_b)' S (x_j - r_b) = ||z_j - w_b||^2,
+#     z = x L,  w = r L                                  (whitened coords)
+#
+# and the wrapped-angle correction collapses to RANK-1 (separable) terms:
+# with e = e0 - 2 pi k u_a (u_a the one-hot angle axis) and p = (S x)_a,
+# q = (S r)_a,
+#
+#     cost = ||z - w||^2 - 4 pi k (p_j - q_b) + 4 pi^2 k^2 S_aa.
+#
+# Consequences vs the general bilinear kernel above: no (B x N) matmul at
+# all — per-pair work is ~n multiply-adds of DIRECT differences on the VPU,
+# exact in f32 with zero cancellation (no HIGHEST multi-pass, no centering),
+# and the second wrap-correction matmul disappears.  Measured ~3x faster at
+# n = 6, B = 8192, N = 16k live nodes, while being *more* accurate.
+
+
+def _nn_const_kernel(size_ref, saa_ref, zT_ref, w_ref, cost_ref, idx_ref, *,
+                     blk: int, n: int, wrapped: bool):
+    """One (candidate-tile, node-block) grid step of the constant-S kernel.
+
+    zT_ref: (R, blk) node block, rows [z_0..z_{n-1}, x_a, p] (pad rows zero).
+    w_ref:  (Bt, C) candidate tile, cols [w_0..w_{n-1}, r_a, q] (pad zero).
+    cost/idx: (Bt, 1) running best for this candidate tile (node axis minor).
+    """
+    i = pl.program_id(1)
+    Bt = w_ref.shape[0]
+
+    @pl.when(i == 0)
+    def _():
+        cost_ref[:] = jnp.full_like(cost_ref, _INF)
+        idx_ref[:] = jnp.zeros_like(idx_ref)
+
+    @pl.when(i * blk < size_ref[0])
+    def _():
+        c = jnp.zeros((Bt, blk), jnp.float32)
+        for d in range(n):
+            diff = zT_ref[d:d + 1, :] - w_ref[:, d:d + 1]
+            c = c + diff * diff
+        if wrapped:
+            x_a = zT_ref[n:n + 1, :]                   # (1, blk)
+            r_a = w_ref[:, n:n + 1]                    # (Bt, 1)
+            p = zT_ref[n + 1:n + 2, :]
+            q = w_ref[:, n + 1:n + 2]
+            k = jnp.round((x_a - r_a) / _TWO_PI)
+            c = (c - (2.0 * _TWO_PI) * k * (p - q)
+                 + (_TWO_PI * _TWO_PI * saa_ref[0]) * (k * k))
+
+        node_idx = i * blk + jax.lax.broadcasted_iota(
+            jnp.int32, (Bt, blk), 1)
+        c = jnp.where(node_idx < size_ref[0], c, _INF)
+
+        bc = jnp.min(c, axis=1, keepdims=True)
+        bi = (i * blk
+              + jnp.argmin(c, axis=1).astype(jnp.int32)[:, None])
+        take = bc < cost_ref[:]
+        idx_ref[:] = jnp.where(take, bi, idx_ref[:])
+        cost_ref[:] = jnp.where(take, bc, cost_ref[:])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block", "wrap_dim", "interpret"))
+def nearest_const_pallas(states, S, size, xrand, *, block: int = 1024,
+                         wrap_dim: int | None = None,
+                         interpret: bool = False):
+    """Fused nearest for a CONSTANT metric: (states, S, size, xrand) ->
+    (ids, costs).  Same contract as ``nearest_pallas`` except only S[0] (or a
+    single (n, n) S) is used — every live node must share it (the planner
+    auto-detects this by probing the user's lqr, planner.py nn_impl="auto").
+    """
+    N, n = states.shape
+    B = xrand.shape[0]
+    wrapped = wrap_dim is not None
+    if S.ndim == 3:
+        S = S[0]
+    # tiny jitter keeps chol defined for merely PSD cost-to-go matrices
+    L = jnp.linalg.cholesky(S + 1e-9 * jnp.eye(n, dtype=S.dtype))
+
+    def pick(total, base, cap):
+        cands = [b for b in (base << i for i in range(16))
+                 if b <= total and total % b == 0] or [total]
+        fitting = [b for b in cands if b <= cap]
+        return max(fitting) if fitting else min(cands)
+
+    Bt = pick(B, 8, 1024)
+    blk = pick(N, 128, block)
+    assert N % blk == 0 and B % Bt == 0, (N, blk, B, Bt)
+    nblocks = N // blk
+    nb_B = B // Bt
+
+    z = states @ L                                     # (N, n) whitened
+    w = xrand @ L                                      # (B, n)
+    rows = n + (2 if wrapped else 0)
+    R = -(-rows // 8) * 8                              # sublane-pad
+    C = 128                                            # lane-pad
+    zT = jnp.zeros((R, N), jnp.float32).at[:n, :].set(z.T)
+    wp = jnp.zeros((B, C), jnp.float32).at[:, :n].set(w)
+    if wrapped:
+        Sa = S[wrap_dim, :]
+        zT = zT.at[n, :].set(states[:, wrap_dim])
+        zT = zT.at[n + 1, :].set(states @ Sa)
+        wp = wp.at[:, n].set(xrand[:, wrap_dim])
+        wp = wp.at[:, n + 1].set(xrand @ Sa)
+        saa = S[wrap_dim, wrap_dim].reshape(1)
+    else:
+        saa = jnp.zeros((1,), jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,                         # size, S_aa
+        grid=(nb_B, nblocks),                          # node axis MINOR
+        in_specs=[
+            pl.BlockSpec((R, blk), lambda j, i, s, a: (0, i),
+                         memory_space=pltpu.VMEM),     # zT block
+            pl.BlockSpec((Bt, C), lambda j, i, s, a: (j, 0),
+                         memory_space=pltpu.VMEM),     # w tile
+        ],
+        out_specs=[
+            pl.BlockSpec((Bt, 1), lambda j, i, s, a: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bt, 1), lambda j, i, s, a: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    cost, idx = pl.pallas_call(
+        functools.partial(_nn_const_kernel, blk=blk, n=n, wrapped=wrapped),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=3 * B * N * (n + (4 if wrapped else 0)),
+            bytes_accessed=(R * N + nb_B * N * 0 + B * C) * 4 + B * 8,
+            transcendentals=0),
+        interpret=interpret,
+    )(jnp.asarray(size, jnp.int32).reshape(1),
+      jnp.asarray(saa, jnp.float32), zT, wp)
+
+    return idx[:, 0], cost[:, 0]
+
+
+def make_nearest_const_pallas(block: int = 1024, wrap_dim: int | None = None,
+                              interpret: bool = False):
+    """Adapter matching core.nearest.make_nearest's return signature."""
+    def nearest(states, S, size, xrand):
+        return nearest_const_pallas(states, S, size, xrand, block=block,
+                                    wrap_dim=wrap_dim, interpret=interpret)
+    return nearest

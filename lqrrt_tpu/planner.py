@@ -63,7 +63,7 @@ class Planner:
                  rounds_per_chunk: int = 8, nn_impl: str = "auto"):
         if horizon <= 0 or dt <= 0:
             raise ValueError("horizon and dt must be positive")
-        if nn_impl not in ("auto", "pallas", "jnp"):
+        if nn_impl not in ("auto", "pallas", "pallas_const", "jnp"):
             raise ValueError(f"unknown nn_impl {nn_impl!r}")
         self.dynamics = dynamics
         self.lqr = lqr
@@ -97,6 +97,8 @@ class Planner:
         self.nn_impl = nn_impl
 
         self._key = jax.random.PRNGKey(seed)
+        self._lqr_const = None          # lazily probed (see _lqr_is_constant)
+        self.nn_selected = "jnp"        # backend actually picked at trace time
         self._chunk_cache = {}
         self._killed = False
         self.tree: Optional[Tree] = None           # host snapshot (lazy)
@@ -148,13 +150,40 @@ class Planner:
         wrap_mask[list(self.wrap_dims)] = True
         return wrap_mask
 
+    def _lqr_is_constant(self) -> bool:
+        """Probe whether lqr(x, u) is state-independent (one cost-to-go S for
+        the whole tree, like the reference's precomputed-CARE demos).  Probes
+        two distinct states eagerly at setup; any exception or mismatch (or
+        non-finite output) falls back to the general per-node-S kernel.
+        """
+        if self._lqr_const is None:
+            try:
+                xa = jnp.zeros(self.nstates, jnp.float32)
+                xb = jnp.full(self.nstates, 0.731, jnp.float32).at[
+                    min(1, self.nstates - 1)].set(-0.417)
+                ua = jnp.zeros(self.ncontrols, jnp.float32)
+                ub = jnp.full(self.ncontrols, 0.293, jnp.float32)
+                Sa, Ka = self.lqr(xa, ua)
+                Sb, Kb = self.lqr(xb, ub)
+                same = (np.all(np.isfinite(np.asarray(Sa)))
+                        and np.allclose(np.asarray(Sa), np.asarray(Sb))
+                        and np.allclose(np.asarray(Ka), np.asarray(Kb)))
+                self._lqr_const = bool(same)
+            except Exception:
+                self._lqr_const = False
+        return self._lqr_const
+
     def _nearest_override(self):
         """Pick the fused Pallas NN kernel when the erf supports it.
 
         The Pallas path needs an affine erf (subtract, optionally one wrapped
         angle dim) — make_erf products carry an ``angle_dims`` tag.  "auto"
-        uses it on TPU backends only; "pallas" forces it (interpret mode off
-        TPU, which is how tests exercise the kernel on CPU).
+        uses it on TPU backends only; "pallas"/"pallas_const" force it
+        (interpret mode off TPU, which is how tests exercise the kernels on
+        CPU).  When the user's lqr is state-independent (detected by probing,
+        or forced via nn_impl="pallas_const"), the exact constant-metric VPU
+        kernel replaces the general bilinear-matmul kernel — ~3x faster and
+        free of the expanded-quadratic cancellation (ops/pallas/nn_kernel.py).
         """
         if self.nn_impl == "jnp":
             return None
@@ -162,7 +191,7 @@ class Planner:
         if self.erf in (jnp.subtract, np.subtract):
             dims = ()
         if dims is None or len(dims) > 1:
-            if self.nn_impl == "pallas":
+            if self.nn_impl in ("pallas", "pallas_const"):
                 raise ValueError(
                     "nn_impl='pallas' needs an affine erf with at most one "
                     "wrapped angle dim (build it with ops.angles.make_erf)")
@@ -170,11 +199,17 @@ class Planner:
         platform = jax.devices()[0].platform
         if self.nn_impl == "auto" and platform != "tpu":
             return None
-        from .ops.pallas.nn_kernel import make_nearest_pallas
-        return make_nearest_pallas(
-            block=min(self.nn_block, self.capacity),
-            wrap_dim=dims[0] if dims else None,
-            interpret=(platform != "tpu"))
+        from .ops.pallas.nn_kernel import (make_nearest_const_pallas,
+                                           make_nearest_pallas)
+        kwargs = dict(block=min(self.nn_block, self.capacity),
+                      wrap_dim=dims[0] if dims else None,
+                      interpret=(platform != "tpu"))
+        if (self.nn_impl == "pallas_const"
+                or (self.nn_impl == "auto" and self._lqr_is_constant())):
+            self.nn_selected = "pallas_const"
+            return make_nearest_const_pallas(**kwargs)
+        self.nn_selected = "pallas"
+        return make_nearest_pallas(**kwargs)
 
     def _get_chunk(self, xrand_gen, n_fpr: int):
         """Jitted chunk: rounds_per_chunk expansion rounds fused into one
