@@ -99,16 +99,22 @@ def make_expand(spec: RoundSpec, dynamics: Callable, lqr: Callable,
         S_new, K_new = lqr_batch(res.xnew, u_last)
 
         xnew = res.xnew
+        x_seq = res.x_seq
         if wrap_mask is not None:
+            # Wrap angle dims in BOTH the endpoint and the stored edge states,
+            # so mid-edge states handed back by get_state(t) honor the erf
+            # contract too (round 1 wrapped only xnew); the planner's
+            # interpolator is wrap-aware across the +-pi seam.
             from ..ops.angles import wrap_angle
             xnew = jnp.where(wrap_mask, wrap_angle(xnew), xnew)
+            x_seq = jnp.where(wrap_mask, wrap_angle(x_seq), x_seq)
 
         # --- goal test (C6) + cost-to-go heuristic (C7 fallback metric) ---
         e_goal = erf_goal(goal, xnew)
         in_goal = jnp.all(jnp.abs(e_goal) <= goal_buffer, axis=-1)
         gcost = jnp.einsum("bi,bij,bj->b", e_goal, S_new, e_goal)
 
-        return Candidates(pids=pids, length=res.length, x_seq=res.x_seq,
+        return Candidates(pids=pids, length=res.length, x_seq=x_seq,
                           u_seq=res.u_seq, xnew=xnew, S_new=S_new,
                           K_new=K_new, in_goal=in_goal, gcost=gcost)
 

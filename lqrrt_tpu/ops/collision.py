@@ -119,7 +119,7 @@ class OccupancyGrid:
         footprint sampled at ``n_ring`` boundary points."""
         if footprint_radius <= 0.0:
             return self.is_feasible
-        ang = np.linspace(0.0, TWO_PI_, n_ring, endpoint=False,
+        ang = np.linspace(0.0, 2.0 * np.pi, n_ring, endpoint=False,
                           dtype=np.float32)
         ring = footprint_radius * np.stack([np.cos(ang), np.sin(ang)], -1)
 
@@ -130,6 +130,3 @@ class OccupancyGrid:
             return jnp.logical_not(jnp.any(self.occupied(pts)))
 
         return is_feasible
-
-
-TWO_PI_ = 2.0 * jnp.pi

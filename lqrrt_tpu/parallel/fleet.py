@@ -11,6 +11,7 @@ states, goals, sample spaces, and PRNG streams are per-scenario.
 """
 from __future__ import annotations
 
+import time
 from typing import Callable, NamedTuple, Optional
 
 import jax
@@ -37,20 +38,22 @@ class FleetPlanner:
                  capacity: int = 4096, nn_block: int = 1024,
                  saturate: Optional[Callable] = None, wrap_dims=(),
                  mesh: Optional[Mesh] = None, axis: str = "scenario",
-                 seed: int = 0):
+                 seed: int = 0, ncontrols: Optional[int] = None,
+                 sys_time: Callable = None):
         self.n_scenarios = int(n_scenarios)
         self.dt = float(dt)
         self.horizon_steps = max(int(round(horizon / dt)), 1)
         self.nstates = None  # resolved at plan() from x0 shape
+        self.ncontrols = None if ncontrols is None else int(ncontrols)
         self.goal_buffer = np.asarray(goal_buffer, np.float32)
         self.mesh = mesh
         self.axis = axis
         self._key = jax.random.PRNGKey(seed)
+        self.sys_time = sys_time if sys_time is not None else time.time
         self.spec = RoundSpec(
             nstates=-1, ncontrols=-1, batch=int(batch_size),
             horizon_steps=self.horizon_steps, capacity=int(capacity),
             dt=self.dt, nn_block=int(nn_block))
-        wrap_mask = None
         self._mk = dict(dynamics=dynamics, lqr=lqr, erf=erf,
                         is_feasible=is_feasible, error_tol=error_tol,
                         saturate=saturate, wrap_dims=tuple(wrap_dims))
@@ -106,11 +109,20 @@ class FleetPlanner:
                              slack=self.spec.slack)
         self._vseed = jax.jit(jax.vmap(seed_one))
 
-    def plan(self, x0s, goals, sample_spaces, goal_bias, rounds: int = 10):
-        """Grow all scenario trees for ``rounds`` rounds; returns stats dict.
+    def plan(self, x0s, goals, sample_spaces, goal_bias, rounds: int = 10,
+             max_time: Optional[float] = None, rounds_per_chunk: int = 8):
+        """Grow all scenario trees; returns stats dict.
 
         x0s: (S, n); goals: (S, n); sample_spaces: (S, n, 2) or (n, 2)
         shared; goal_bias: (n,) shared.
+
+        Budget semantics (anytime, like Planner.update_plan): with
+        ``max_time=None``, exactly ``rounds`` rounds run as ONE device
+        dispatch.  With ``max_time`` set, chunks of ``rounds_per_chunk``
+        rounds are dispatched until the wall clock (``sys_time``) budget
+        expires or ``rounds`` is reached, whichever comes first; the nrounds
+        argument is traced, so every chunk reuses one compiled program.
+        Per-scenario time-to-first-goal is recorded at chunk granularity.
         """
         x0s = jnp.asarray(x0s, jnp.float32)
         goals = jnp.asarray(goals, jnp.float32)
@@ -125,26 +137,61 @@ class FleetPlanner:
             goal_bias = jnp.full((n,), goal_bias)
 
         if self._vplan is None or self.spec.nstates != n:
-            self._build(n, self._infer_ncontrols(x0s[0]))
+            m = (self.ncontrols if self.ncontrols is not None
+                 else self._infer_ncontrols(x0s[0]))
+            self._build(n, m)
 
         trees = self._vseed(x0s, goals)
         if self.mesh is not None:
             sh = NamedSharding(self.mesh, P(self.axis))
             trees = jax.tree.map(lambda x: jax.device_put(x, sh), trees)
         self._key, base = jax.random.split(self._key)
-        trees = self._vplan(trees, base, jnp.asarray(rounds, jnp.int32),
-                            goals, sample_spaces, goal_bias)
+        t0 = self.sys_time()
+        goal_time = np.full(S_, np.nan, np.float32)
+        if max_time is None:
+            trees = self._vplan(trees, base, jnp.asarray(rounds, jnp.int32),
+                                goals, sample_spaces, goal_bias)
+            done = rounds
+        else:
+            done = 0
+            while done < rounds and self.sys_time() - t0 < max_time:
+                nr = min(rounds_per_chunk, rounds - done)
+                trees = self._vplan(trees, jax.random.fold_in(base, done),
+                                    jnp.asarray(nr, jnp.int32),
+                                    goals, sample_spaces, goal_bias)
+                done += nr
+                found = np.asarray(trees.goal_found)
+                now = self.sys_time() - t0
+                goal_time = np.where(np.isnan(goal_time) & found,
+                                     np.float32(now), goal_time)
         trees.size.block_until_ready()
+        elapsed = self.sys_time() - t0
         self.trees = trees
+        found = np.asarray(trees.goal_found)
+        if max_time is None:
+            goal_time = np.where(found, np.float32(elapsed), goal_time)
+        expansions = done * self.spec.batch * self.n_scenarios
         return dict(
             sizes=np.asarray(trees.size),
-            goal_found=np.asarray(trees.goal_found),
-            expansions=rounds * self.spec.batch * self.n_scenarios,
+            goal_found=found,
+            rounds=done,
+            elapsed_s=elapsed,
+            expansions=expansions,
+            expansions_per_s=expansions / max(elapsed, 1e-9),
+            goal_time_s=goal_time,
         )
 
     def _infer_ncontrols(self, x0):
-        # read K's leading dim from one lqr evaluation
-        _, K0 = self._mk["lqr"](jnp.asarray(x0), None)
+        # Read K's leading dim from one lqr evaluation.  Re-linearized lqr
+        # callbacks that use ``u`` (e.g. the car model without u_eq) cannot
+        # be probed with u=None — those callers must pass ncontrols=.
+        try:
+            _, K0 = self._mk["lqr"](jnp.asarray(x0), None)
+        except Exception as e:
+            raise ValueError(
+                "could not infer ncontrols by probing lqr(x0, None) — the "
+                "lqr callback appears to use its u argument; pass "
+                "ncontrols= to FleetPlanner explicitly") from e
         return int(np.asarray(K0).shape[0])
 
     def best_nodes(self):

@@ -8,17 +8,26 @@ reducing best-candidate edges via collectives"):
   local compute with zero communication).
 * The candidate batch is SHARDED over the "dp" mesh axis: each device draws
   its own fold of the round key, runs nearest+steer+Riccati on batch/n_dev
-  candidates (the expensive part), then the per-candidate results are
-  all-gathered over ICI and every device commits the identical full batch.
-  The commit is O(batch) scatter work — negligible next to steering — and
-  keeping it replicated means the tree never needs a collective scatter.
-* Determinism: the gathered batch is identical on all devices, so the
-  replicated trees stay bit-identical round after round.
+  candidates (the expensive part), then candidates are exchanged over ICI and
+  every device commits the identical set — so the replicated trees stay
+  bit-identical round after round.
 
-The all_gather of candidate edges IS the best-edge collective (P2): every
-device contributes its locally-best feasible edges and receives everyone
-else's.  Communication volume per round = the candidate rollout buffers
-(batch x H x (n+m) floats), which amortizes perfectly with batch size.
+Two best-edge collectives (P2), selectable per round:
+
+* ``collective="gather"`` — all_gather the FULL candidate batch (rollout
+  buffers included) and commit everything feasible, exactly matching the
+  single-chip round's semantics.  Comm volume per round per device ~
+  batch x H x (n+m) floats.
+* ``collective="topk"`` — the reduced best-edge exchange: all_gather only a
+  per-candidate score (B floats), compute the identical global top-k on
+  every device, then psum k zero-masked winner rows so each device ends up
+  with the full data of exactly the k globally-best candidates.  Comm volume
+  ~ (B + 2k x H x (n+m)) floats vs B x H x (n+m): a batch/(2k) reduction
+  for the dominant rollout buffers.  Semantics: at most k commits per round
+  (best-first), a *selective* policy rather than commit-everything.
+
+Scores rank goal-reaching candidates first (shorter root->node time wins),
+then ascending LQR cost-to-go — the same criterion best_node uses.
 """
 from __future__ import annotations
 
@@ -28,8 +37,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..core.commit import commit_batch
-from ..core.rounds import RoundSpec, make_expand
+from ..core.commit import commit_batch, commit_batch_dense
+from ..core.rounds import Candidates, RoundSpec, make_expand
 from ..core.sampling import sample_batch
 from ..core.tree import TreeArrays
 
@@ -38,13 +47,116 @@ try:  # jax >= 0.8 moved shard_map to the top level
 except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
+_GOAL_SCORE_OFFSET = 1e9   # goal candidates rank below any cost-to-go score
+
+
+def _commit(spec: RoundSpec, tree: TreeArrays, c: Candidates) -> TreeArrays:
+    """Same commit-path selection as the single-chip round (core/rounds.py)."""
+    if spec.slack >= c.pids.shape[0]:
+        return commit_batch_dense(
+            tree, spec.dt, spec.capacity, c.pids, c.length, c.x_seq, c.u_seq,
+            c.xnew, c.S_new, c.K_new, c.in_goal, c.gcost)
+    return commit_batch(tree, spec.dt, c.pids, c.length, c.x_seq, c.u_seq,
+                        c.xnew, c.S_new, c.K_new, c.in_goal, c.gcost)
+
+
+def candidate_scores(tree: TreeArrays, c: Candidates, dt: float):
+    """Commit priority, lower = better: infeasible -> +inf; goal-reaching ->
+    (root->node time - OFFSET), i.e. always ahead of non-goal; otherwise the
+    LQR cost-to-go toward the goal."""
+    t_new = tree.node_time[c.pids] + c.length.astype(jnp.float32) * dt
+    score = jnp.where(c.in_goal, t_new - _GOAL_SCORE_OFFSET, c.gcost)
+    return jnp.where(c.length >= 1, score, jnp.inf)
+
+
+def make_sharded_round_body(
+        spec: RoundSpec, n_dev: int, dynamics: Callable, lqr: Callable,
+        erf: Callable, is_feasible: Callable, error_tol, goal_buffer,
+        wrap_mask=None, saturate: Callable | None = None,
+        nearest_fn: Callable | None = None,
+        xrand_gen: Callable | None = None, axis: str = "dp",
+        collective: str = "gather", topk: int | None = None) -> Callable:
+    """Build the PER-DEVICE round body — call it inside shard_map over
+    ``axis`` (e.g. from a jitted chunk loop; parallel.sharded.
+    make_sharded_round wraps it for single-round use).
+
+    round_body(tree, key, goal, sample_space, goal_bias, bias_target) -> tree
+
+    The tree argument and result are the per-device (replicated) copies.
+    ``xrand_gen(key, local_batch)``, if given, replaces the default sampler;
+    it receives a per-device folded key.  spec.batch is the GLOBAL batch.
+    """
+    if spec.batch % n_dev != 0:
+        raise ValueError(f"batch {spec.batch} not divisible by mesh axis "
+                         f"{axis}={n_dev}")
+    if collective not in ("gather", "topk"):
+        raise ValueError(f"unknown collective {collective!r}")
+    local_b = spec.batch // n_dev
+    if collective == "topk":
+        topk = min(int(topk if topk is not None else spec.batch // 8),
+                   spec.batch)
+        if topk < 1:
+            raise ValueError("topk must be >= 1")
+    expand = make_expand(spec, dynamics, lqr, erf, is_feasible, error_tol,
+                         goal_buffer, wrap_mask=wrap_mask, saturate=saturate,
+                         nearest_fn=nearest_fn)
+
+    def round_body(tree: TreeArrays, key, goal, sample_space, goal_bias,
+                   bias_target) -> TreeArrays:
+        # per-device key fold -> independent sample shard (P1)
+        idx = jax.lax.axis_index(axis)
+        key_i = jax.random.fold_in(key, idx)
+        if xrand_gen is None:
+            xrand = sample_batch(key_i, local_b, sample_space, goal_bias,
+                                 bias_target)
+        else:
+            xrand = xrand_gen(key_i, local_b)
+
+        cand = expand(tree, xrand, goal)         # local compute, no comms
+
+        if collective == "gather":
+            # best-edge exchange (P2): full candidate batch over ICI
+            cand_full = jax.tree.map(
+                lambda x: jax.lax.all_gather(x, axis, axis=0, tiled=True),
+                cand)
+            return _commit(spec, tree, cand_full)
+
+        # --- topk: score exchange + psum of zero-masked winner rows ---
+        score = candidate_scores(tree, cand, spec.dt)          # (local_b,)
+        score_all = jax.lax.all_gather(score, axis, axis=0, tiled=True)
+        _, gidx = jax.lax.top_k(-score_all, topk)              # global ids
+        owner = gidx // local_b
+        lidx = jnp.where(owner == idx, gidx % local_b, 0)
+        mine = owner == idx
+
+        def winner_rows(a):
+            rows = a[lidx]
+            mask = mine.reshape((topk,) + (1,) * (a.ndim - 1))
+            zero = jnp.zeros_like(rows)
+            if a.dtype == jnp.bool_:
+                rows = jnp.where(mask, rows, zero).astype(jnp.int32)
+                return jax.lax.psum(rows, axis).astype(jnp.bool_)
+            return jax.lax.psum(jnp.where(mask, rows, zero), axis)
+
+        winners = jax.tree.map(winner_rows, cand)
+        # rows whose global score was inf (nothing feasible) carry length
+        # from an arbitrary owner row: mask them out explicitly
+        feas = jnp.take(score_all, gidx) < jnp.inf
+        winners = winners._replace(
+            length=jnp.where(feas, winners.length, 0))
+        return _commit(spec, tree, winners)
+
+    return round_body
+
 
 def make_sharded_round(spec: RoundSpec, mesh: Mesh, dynamics: Callable,
                        lqr: Callable, erf: Callable, is_feasible: Callable,
                        error_tol, goal_buffer, wrap_mask=None,
                        saturate: Callable | None = None,
                        nearest_fn: Callable | None = None,
-                       axis: str = "dp") -> Callable:
+                       xrand_gen: Callable | None = None,
+                       axis: str = "dp", collective: str = "gather",
+                       topk: int | None = None) -> Callable:
     """Build the multi-device round: same signature and semantics as the
     single-chip round, tree replicated, candidate batch sharded over ``axis``.
 
@@ -52,44 +164,16 @@ def make_sharded_round(spec: RoundSpec, mesh: Mesh, dynamics: Callable,
     ``nearest_fn`` (e.g. the Pallas NN kernel) runs per device on the local
     candidate shard against the replicated tree.
     """
-    n_dev = mesh.shape[axis]
-    if spec.batch % n_dev != 0:
-        raise ValueError(f"batch {spec.batch} not divisible by mesh axis "
-                         f"{axis}={n_dev}")
-    local_b = spec.batch // n_dev
-    expand = make_expand(spec, dynamics, lqr, erf, is_feasible, error_tol,
-                         goal_buffer, wrap_mask=wrap_mask, saturate=saturate,
-                         nearest_fn=nearest_fn)
-
+    body = make_sharded_round_body(
+        spec, mesh.shape[axis], dynamics, lqr, erf, is_feasible, error_tol,
+        goal_buffer, wrap_mask=wrap_mask, saturate=saturate,
+        nearest_fn=nearest_fn, xrand_gen=xrand_gen, axis=axis,
+        collective=collective, topk=topk)
     rep = P()
-
-    def round_body(tree: TreeArrays, key, goal, sample_space, goal_bias,
-                   bias_target) -> TreeArrays:
-        # per-device key fold -> independent sample shard (P1)
-        idx = jax.lax.axis_index(axis)
-        key_i = jax.random.fold_in(key, idx)
-        xrand = sample_batch(key_i, local_b, sample_space, goal_bias,
-                             bias_target)
-
-        cand = expand(tree, xrand, goal)         # local compute, no comms
-
-        # best-edge collective (P2): gather the full candidate batch over ICI
-        cand_full = jax.tree.map(
-            lambda x: jax.lax.all_gather(x, axis, axis=0, tiled=True), cand)
-
-        # replicated commit: identical on every device, tree stays replicated
-        return commit_batch(tree, spec.dt, cand_full.pids, cand_full.length,
-                            cand_full.x_seq, cand_full.u_seq, cand_full.xnew,
-                            cand_full.S_new, cand_full.K_new,
-                            cand_full.in_goal, cand_full.gcost)
-
     # a single P() acts as a prefix spec for each whole argument pytree
-    sharded = shard_map(
-        round_body, mesh=mesh,
-        in_specs=(rep, rep, rep, rep, rep, rep),
-        out_specs=rep,
-        check_vma=False)
-    return sharded
+    return shard_map(body, mesh=mesh,
+                     in_specs=(rep, rep, rep, rep, rep, rep),
+                     out_specs=rep, check_vma=False)
 
 
 def jit_sharded_round(round_fn: Callable, mesh: Mesh) -> Callable:

@@ -55,16 +55,26 @@ class Planner:
                  constraints: Constraints, horizon: float, dt: float = 0.05,
                  FPR: float = 0.0, error_tol=0.05, erf: Callable = jnp.subtract,
                  min_time: float = 0.5, max_time: float = 1.0,
-                 max_nodes: int = int(1e5), goal0=None,
+                 max_nodes: Optional[int] = None, goal0=None,
                  sys_time: Callable = time.time, printing: bool = True, *,
                  batch_size: int = 512, capacity: Optional[int] = None,
                  wrap_dims=(), nn_block: int = 1024, seed: int = 0,
                  saturate: Optional[Callable] = None,
-                 rounds_per_chunk: int = 8, nn_impl: str = "auto"):
+                 rounds_per_chunk: int = 8, nn_impl: str = "auto",
+                 mesh=None, mesh_axis: str = "dp",
+                 collective: str = "gather", topk: Optional[int] = None):
         if horizon <= 0 or dt <= 0:
             raise ValueError("horizon and dt must be positive")
         if nn_impl not in ("auto", "pallas", "pallas_const", "jnp"):
             raise ValueError(f"unknown nn_impl {nn_impl!r}")
+        if collective not in ("gather", "topk"):
+            raise ValueError(f"unknown collective {collective!r}")
+        if mesh is not None:
+            n_dev = mesh.shape[mesh_axis]
+            if int(batch_size) % n_dev != 0:
+                raise ValueError(
+                    f"batch_size={batch_size} must divide by the mesh "
+                    f"'{mesh_axis}' axis size {n_dev}")
         self.dynamics = dynamics
         self.lqr = lqr
         self.constraints = constraints
@@ -76,7 +86,10 @@ class Planner:
         self.saturate = saturate
         self.min_time = float(min_time)
         self.max_time = float(max_time)
-        self.max_nodes = int(max_nodes)
+        # None = the reference default 1e5 (SURVEY.md C1); track whether the
+        # user asked explicitly so the capacity clamp can warn only then.
+        _explicit_max_nodes = max_nodes is not None
+        self.max_nodes = int(1e5) if max_nodes is None else int(max_nodes)
         self.sys_time = sys_time
         self.printing = printing
 
@@ -87,6 +100,22 @@ class Planner:
         self.nn_block = int(nn_block)
         if capacity is None:
             capacity = min(self.max_nodes, 32768)
+            if _explicit_max_nodes and self.max_nodes > capacity:
+                import warnings
+                hbm_mib = (self.max_nodes * 4
+                           * self.horizon_steps
+                           * (self.nstates + self.ncontrols)) / 2**20
+                warnings.warn(
+                    f"max_nodes={self.max_nodes} exceeds the default tree "
+                    f"capacity {capacity}; planning stops at {capacity} "
+                    f"nodes. Pass capacity={self.max_nodes} explicitly to "
+                    f"honor max_nodes (~{hbm_mib:.0f} MiB of HBM for edge "
+                    f"rollout storage).", stacklevel=2)
+        elif self.max_nodes > int(capacity) and _explicit_max_nodes:
+            import warnings
+            warnings.warn(
+                f"max_nodes={self.max_nodes} exceeds capacity={capacity}; "
+                f"planning stops at {capacity} nodes.", stacklevel=2)
         # capacity rounded up to a multiple of the NN block for clean tiling;
         # slack rows (also block-aligned) enable the scatter-free dense commit
         blk = min(self.nn_block, capacity)
@@ -95,6 +124,16 @@ class Planner:
         self.wrap_dims = tuple(wrap_dims)
         self.rounds_per_chunk = max(int(rounds_per_chunk), 1)
         self.nn_impl = nn_impl
+        # Multi-device mode (SURVEY.md 2.4 P1/P2): candidate batch sharded
+        # over mesh_axis, tree replicated, best-edge collective per round
+        # ("gather" = full candidate all-gather, commit-everything; "topk" =
+        # score gather + psum of the k globally-best edges).  The whole
+        # chunked anytime loop — budget, kill, FPR, pruning, finish_on_goal,
+        # extraction — works identically on a mesh.
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
+        self.collective = collective
+        self.topk = topk
 
         self._key = jax.random.PRNGKey(seed)
         self._lqr_const = None          # lazily probed (see _lqr_is_constant)
@@ -215,7 +254,11 @@ class Planner:
         """Jitted chunk: rounds_per_chunk expansion rounds fused into one
         device program, returning (tree, packed [size, goal_found]) so the
         host pays exactly one dispatch + one small fetch per chunk."""
-        key = (self.constraints._feasibility_version, id(xrand_gen), n_fpr)
+        # The generator OBJECT is part of the key (not id(): a GC'd lambda's
+        # id can be reused, silently serving a stale chunk with the old
+        # sampler).  The cache holds a strong reference; distinct generators
+        # per planner are few, so growth is bounded in practice.
+        key = (self.constraints._feasibility_version, xrand_gen, n_fpr)
         if key in self._chunk_cache:
             return self._chunk_cache[key]
 
@@ -641,7 +684,17 @@ class Planner:
         i = int(np.floor(tau))
         j = min(i + 1, len(seq) - 1)
         a = tau - i
-        return (1.0 - a) * seq[i] + a * seq[j]
+        out = (1.0 - a) * seq[i] + a * seq[j]
+        if self.wrap_dims:
+            # Stored plan angles are wrapped into [-pi, pi); interpolate
+            # across the seam via the wrapped delta so a 3.13 -> -3.13 step
+            # reads as +0.02 rad, not a sweep through zero.
+            two_pi = 2.0 * np.pi
+            for d in self.wrap_dims:
+                delta = (seq[j][d] - seq[i][d] + np.pi) % two_pi - np.pi
+                ang = seq[i][d] + a * delta
+                out[d] = (ang + np.pi) % two_pi - np.pi
+        return out
 
     # ------------------------------------------------------------------ extras
 

@@ -92,36 +92,39 @@ def test_get_state_interpolation(planned):
 
 
 def test_kill_update_preempts():
+    """kill_update takes effect at the next chunk boundary: once the kill
+    flag is up, the planner must exit within ~one chunk's latency, not ride
+    out the 60 s max_time (reference C10, SURVEY.md section 3.4)."""
+    import time as _time
     prob = di.default_problem()
     planner = lqrrt_tpu.Planner(
         prob["dynamics"], prob["lqr"], prob["constraints"],
         horizon=prob["horizon"], dt=prob["dt"], goal0=prob["goal"],
         min_time=0.0, max_time=60.0, printing=False,
         batch_size=32, capacity=1024, nn_block=256)
-    # kill immediately: the loop should exit at the first round boundary
-    planner.kill_update()
+    # warm the compile cache so the timed run measures chunk latency only
+    planner.update_plan(prob["x0"], prob["sample_space"], goal_bias=0.1,
+                        pruning=False, specific_time=0.05)
 
-    orig = planner._killed
-    assert orig
-    reached = planner.update_plan.__wrapped__ if hasattr(
-        planner.update_plan, "__wrapped__") else None
-    # update_plan unkills at entry (reference semantics), so instead test
-    # preemption via a sys_time that kills after the first query
+    # update_plan unkills at entry (reference semantics), so kill via a
+    # sys_time hook after the first few budget checks
     calls = {"n": 0}
-    import time as _time
-    t0 = _time.time()
+    kill_t = {}
 
     def killing_clock():
         calls["n"] += 1
-        if calls["n"] > 3:
+        if calls["n"] == 4:
             planner.kill_update()
+            kill_t["t"] = _time.time()
         return _time.time()
 
     planner.sys_time = killing_clock
     planner.update_plan(prob["x0"], prob["sample_space"], goal_bias=0.1,
                         pruning=False)
-    # must have stopped long before the 60 s max_time
-    assert _time.time() - t0 < 30.0
+    # exit latency after the kill: bounded by one chunk of device work plus
+    # extraction — far below a second of the 60 s budget on any backend
+    assert "t" in kill_t, "kill hook never fired"
+    assert _time.time() - kill_t["t"] < 5.0
     assert planner.x_seq is not None  # best-so-far salvage
 
 

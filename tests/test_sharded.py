@@ -121,6 +121,46 @@ def test_fleet_planner(prob):
     assert plan0.shape != plan1.shape or not np.allclose(plan0, plan1)
 
 
+def test_fleet_wallclock_budget_and_goal_times(prob):
+    """max_time= runs chunked anytime dispatches: rounds stop at the budget,
+    per-scenario time-to-first-goal is recorded, and explicit ncontrols=
+    skips the lqr(x0, None) probe (which re-linearized lqr callbacks that
+    use u cannot survive)."""
+    probe_free_lqr = prob["lqr"]
+
+    def lqr_uses_u(x, u):
+        # re-linearized style: touches u, so probing with u=None must fail
+        return probe_free_lqr(x, u + 0.0 * u)
+
+    fleet = FleetPlanner(
+        lambda x, u, dt: prob["dynamics"](x, u, dt), prob["lqr"], prob["erf"],
+        prob["constraints"].is_feasible, prob["constraints"].goal_buffer,
+        horizon=1.0, dt=0.05, n_scenarios=4, batch_size=16, capacity=256,
+        nn_block=128, saturate=prob["saturate"], mesh=None, ncontrols=2,
+        seed=5)
+    x0s = np.zeros((4, 4), np.float32)
+    goals = np.tile(np.asarray(prob["goal"]), (4, 1))
+    stats = fleet.plan(x0s, goals, prob["sample_space"], goal_bias=0.3,
+                       rounds=64, max_time=3.0, rounds_per_chunk=2)
+    assert stats["rounds"] <= 64
+    assert stats["elapsed_s"] > 0
+    found = stats["goal_found"]
+    gt = stats["goal_time_s"]
+    assert np.all(np.isfinite(gt[found]))        # found => time recorded
+    assert np.all(np.isnan(gt[~found]))          # not found => nan
+    assert np.all(gt[found] <= stats["elapsed_s"] + 1e-3)
+
+    # the probe error path: lqr that uses u and no ncontrols= -> clear error
+    bad = FleetPlanner(
+        prob["dynamics"], lqr_uses_u, prob["erf"],
+        prob["constraints"].is_feasible, prob["constraints"].goal_buffer,
+        horizon=1.0, dt=0.05, n_scenarios=2, batch_size=8, capacity=64,
+        nn_block=64)
+    with pytest.raises(ValueError, match="ncontrols"):
+        bad.plan(x0s[:2], goals[:2], prob["sample_space"], goal_bias=0.2,
+                 rounds=1)
+
+
 def test_fleet_unsharded_fallback(prob):
     fleet = FleetPlanner(
         prob["dynamics"], prob["lqr"], prob["erf"],
