@@ -253,7 +253,15 @@ class Planner:
     def _get_chunk(self, xrand_gen, n_fpr: int):
         """Jitted chunk: rounds_per_chunk expansion rounds fused into one
         device program, returning (tree, packed [size, goal_found]) so the
-        host pays exactly one dispatch + one small fetch per chunk."""
+        host pays exactly one dispatch + one small fetch per chunk.
+
+        With ``mesh=`` set, the identical chunk runs as ONE shard_mapped
+        program over the mesh: per round, sampling + NN + steering execute on
+        each device's batch shard (P1), the best-edge collective (P2,
+        ``collective=``) exchanges candidates over ICI, and the replicated
+        trees commit identically — so the whole anytime loop (budget, kill,
+        FPR, pruning, finish_on_goal, extraction) is mesh-transparent.
+        """
         # The generator OBJECT is part of the key (not id(): a GC'd lambda's
         # id can be reused, silently serving a stale chunk with the old
         # sampler).  The cache holds a strong reference; distinct generators
@@ -271,6 +279,11 @@ class Planner:
         nearest_fn = self._nearest_override()
         common = dict(wrap_mask=wrap_mask, saturate=self.saturate,
                       nearest_fn=nearest_fn)
+
+        if self.mesh is not None:
+            fn = self._build_mesh_chunk(spec, common, xrand_gen, n_fpr)
+            self._chunk_cache[key] = fn
+            return fn
 
         if n_fpr > 0:
             # FPR warm start: n_fpr of each batch resampled from the previous
@@ -316,6 +329,60 @@ class Planner:
         fn = jax.jit(chunk, donate_argnums=(0,))
         self._chunk_cache[key] = fn
         return fn
+
+    def _build_mesh_chunk(self, spec, common, xrand_gen, n_fpr: int):
+        """Multi-device chunk (SURVEY.md 2.4 P1/P2): ONE jitted shard_map over
+        ``mesh_axis`` runs rounds_per_chunk sharded rounds via lax.fori_loop —
+        the same dispatch-amortization as the single-chip chunk, with the
+        best-edge collective riding ICI inside the loop.  All arguments and
+        results are replicated (P()); the tree stays bit-identical across
+        devices round after round (parallel/sharded.py invariant)."""
+        from jax.sharding import PartitionSpec as P
+
+        from .parallel.sharded import make_sharded_round_body, shard_map
+
+        n_dev = self.mesh.shape[self.mesh_axis]
+        n_inner = self.rounds_per_chunk
+        mk_body = dict(
+            spec=spec, n_dev=n_dev, dynamics=self.dynamics, lqr=self.lqr,
+            erf=self.erf, is_feasible=self.constraints.is_feasible,
+            error_tol=self.error_tol, goal_buffer=self.constraints.goal_buffer,
+            axis=self.mesh_axis, collective=self.collective, topk=self.topk,
+            **common)
+
+        def device_fn(tree, base_key, start, goal, sample_space, goal_bias,
+                      bias_target, *extra):
+            if n_fpr > 0:
+                # FPR warm start, sharded: each device draws its share of the
+                # previous-plan resamples (the pool is replicated and tiny).
+                prev_plan = extra[0]
+                n_loc = min(max(n_fpr // n_dev, 1), spec.batch // n_dev - 1)
+
+                def gen(kk, B):
+                    k1, k2 = jax.random.split(kk)
+                    fresh = sample_batch(k1, B - n_loc, sample_space,
+                                         goal_bias, bias_target)
+                    rows = jax.random.randint(k2, (n_loc,), 0,
+                                              prev_plan.shape[0])
+                    return jnp.concatenate([prev_plan[rows], fresh], 0)
+                body = make_sharded_round_body(xrand_gen=gen, **mk_body)
+            else:
+                body = make_sharded_round_body(xrand_gen=xrand_gen, **mk_body)
+
+            def one(i, t):
+                k = jax.random.fold_in(base_key, start + i)
+                return body(t, k, goal, sample_space, goal_bias, bias_target)
+
+            tree = jax.lax.fori_loop(0, n_inner, one, tree)
+            stats = jnp.stack([tree.size,
+                               tree.goal_found.astype(jnp.int32)])
+            return tree, stats
+
+        rep = P()
+        n_args = 7 + (1 if n_fpr > 0 else 0)
+        fn = shard_map(device_fn, mesh=self.mesh, in_specs=(rep,) * n_args,
+                       out_specs=(rep, rep), check_vma=False)
+        return jax.jit(fn, donate_argnums=(0,))
 
     def _get_seed_tree(self):
         """One jitted program seeds the whole tree at x0 — init_tree's dozen
@@ -407,6 +474,9 @@ class Planner:
         # seed the tree at x0 (reference: Tree(seed_state=x0, seed_lqr=...))
         tree = self._get_seed_tree()(x0, self.goal,
                                      self.constraints.goal_buffer)
+        if self.mesh is not None:
+            from .parallel.sharded import replicate_tree
+            tree = replicate_tree(tree, self.mesh)
 
         self._key, base = jax.random.split(self._key)
         t0 = self.sys_time()
