@@ -5,7 +5,7 @@ the multi-device sharded round (parallel/sharded.py) insert candidates through
 the exact same code path (SURVEY.md section 7: "commit the surviving best
 edges into preallocated tree arrays").
 
-Two implementations with identical semantics:
+Two grow implementations with identical semantics:
 
 * ``commit_batch`` — masked scatter (`.at[slot].set(..., mode="drop")`).
   General, but TPU scatters serialize per index: ~2.5 ms for a 1024-row
@@ -17,6 +17,13 @@ Two implementations with identical semantics:
   B-row slice starting at size <= limit never lands out of bounds; spare/
   overflow rows are never counted in ``size`` and always get overwritten by
   the next commit before they could become live.
+
+Plus the capacity-saturated policy:
+
+* ``commit_batch_refine`` — leaf replacement once the tree is full, so the
+  anytime budget keeps buying plan quality instead of stopping at the HBM
+  cap (the reference never stops refining until max_nodes/budget; SURVEY.md
+  C2).  Best candidates replace worst replaceable leaves, score-matched.
 """
 from __future__ import annotations
 
@@ -44,6 +51,7 @@ def commit_batch(tree: TreeArrays, dt: float, pids, length, x_seq, u_seq,
 
     node_time = tree.node_time[pids] + length.astype(jnp.float32) * dt
     new_size = tree.size + jnp.sum(ok, dtype=jnp.int32)
+    pid_slot = jnp.where(ok, pids.astype(jnp.int32), N)
 
     return tree._replace(
         state=tree.state.at[slot].set(xnew, **drop),
@@ -56,6 +64,7 @@ def commit_batch(tree: TreeArrays, dt: float, pids, length, x_seq, u_seq,
         node_time=tree.node_time.at[slot].set(node_time, **drop),
         in_goal=tree.in_goal.at[slot].set(in_goal, **drop),
         goal_cost=tree.goal_cost.at[slot].set(gcost, **drop),
+        n_children=tree.n_children.at[pid_slot].add(1, **drop),
         size=new_size,
         goal_found=tree.goal_found | jnp.any(in_goal & ok),
     )
@@ -86,6 +95,10 @@ def commit_batch_dense(tree: TreeArrays, dt: float, limit: int, pids, length,
 
     new_size = jnp.minimum(tree.size + n_valid,
                            jnp.asarray(limit, jnp.int32))
+    # child counting is the one scatter left: a 1-int-per-row add (cheap next
+    # to the 10 wide row scatters the dense slice replaces)
+    N = tree.state.shape[0]
+    pid_slot = jnp.where(committed, pids_s, N)
     return tree._replace(
         state=dus(tree.state, xnew[order]),
         S=dus(tree.S, S_new[order]),
@@ -97,6 +110,80 @@ def commit_batch_dense(tree: TreeArrays, dt: float, limit: int, pids, length,
         node_time=dus(tree.node_time, node_time),
         in_goal=dus(tree.in_goal, in_goal_s),
         goal_cost=dus(tree.goal_cost, gcost[order]),
+        n_children=tree.n_children.at[pid_slot].add(1, mode="drop"),
         size=new_size,
         goal_found=tree.goal_found | jnp.any(in_goal_s & committed),
+    )
+
+
+_GOAL_OFFSET = 1e9   # goal-reaching candidates outrank any cost-to-go score
+
+
+def commit_batch_refine(tree: TreeArrays, dt: float, limit: int, pids, length,
+                        x_seq, u_seq, xnew, S_new, K_new, in_goal,
+                        gcost) -> TreeArrays:
+    """Leaf-replacement commit for a capacity-saturated tree.
+
+    Policy: rank candidates best-first (goal-reaching first by root->node
+    time, then ascending LQR cost-to-go); rank *replaceable* leaves worst-
+    first (descending cost-to-go).  Pair k-th best candidate with k-th worst
+    leaf and replace iff the candidate's score strictly beats the leaf's.
+    ``size`` is unchanged; every replacement strictly improves the tree's
+    score multiset, so refinement rounds monotonically improve plan quality.
+
+    A row is replaceable iff it is live, not the root, not goal-reaching,
+    has no children (n_children == 0 — replacing an interior node would
+    orphan its subtree), and is not a parent of any candidate in THIS batch
+    (pids reference the pre-round tree; a victim that is also a parent would
+    corrupt the batch's own edges).
+    """
+    B = pids.shape[0]
+    N = tree.state.shape[0]          # physical rows (capacity + slack)
+    f32, i32 = jnp.float32, jnp.int32
+    pids = pids.astype(i32)
+
+    # --- candidate scores, best-first order ---
+    t_new = tree.node_time[pids] + length.astype(f32) * dt
+    c_score = jnp.where(in_goal, t_new - _GOAL_OFFSET, gcost)
+    c_score = jnp.where(length >= 1, c_score, jnp.inf)
+    c_order = jnp.argsort(c_score)
+    c_score_s = c_score[c_order]
+    pids_s = pids[c_order]
+    length_s = length[c_order]
+    in_goal_s = in_goal[c_order]
+    t_new_s = t_new[c_order]
+
+    # --- replaceable leaves, worst-first ---
+    idx = jnp.arange(N)
+    live = (idx >= 1) & (idx < jnp.minimum(tree.size, limit))
+    parent_used = jnp.zeros(N, bool).at[pids].set(True, mode="drop")
+    replaceable = (live & (tree.n_children == 0) & (~tree.in_goal)
+                   & (~parent_used))
+    v_score = jnp.where(replaceable, tree.goal_cost, -jnp.inf)
+    v_worst, v_idx = jax.lax.top_k(v_score, B)       # distinct rows
+
+    # --- pair & replace where strictly better ---
+    replace = (c_score_s < v_worst) & jnp.isfinite(v_worst)
+    slot = jnp.where(replace, v_idx, N).astype(i32)  # N => dropped
+    drop = dict(mode="drop")
+
+    old_parent = jnp.where(replace, tree.parent[v_idx], N)
+    new_parent = jnp.where(replace, pids_s, N)
+    n_children = (tree.n_children
+                  .at[old_parent].add(-1, **drop)
+                  .at[new_parent].add(1, **drop))
+
+    return tree._replace(
+        state=tree.state.at[slot].set(xnew[c_order], **drop),
+        S=tree.S.at[slot].set(S_new[c_order], **drop),
+        K=tree.K.at[slot].set(K_new[c_order], **drop),
+        parent=tree.parent.at[slot].set(pids_s, **drop),
+        edge_x=tree.edge_x.at[slot].set(x_seq[c_order], **drop),
+        edge_u=tree.edge_u.at[slot].set(u_seq[c_order], **drop),
+        edge_len=tree.edge_len.at[slot].set(length_s, **drop),
+        node_time=tree.node_time.at[slot].set(t_new_s, **drop),
+        in_goal=tree.in_goal.at[slot].set(in_goal_s, **drop),
+        goal_cost=tree.goal_cost.at[slot].set(gcost[c_order], **drop),
+        n_children=n_children,
+        goal_found=tree.goal_found | jnp.any(in_goal_s & replace),
     )

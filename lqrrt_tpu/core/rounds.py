@@ -27,7 +27,7 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .commit import commit_batch, commit_batch_dense
+from .commit import commit_batch, commit_batch_dense, commit_batch_refine
 from .nearest import make_nearest
 from .sampling import sample_batch
 from .steer import make_steer
@@ -121,12 +121,33 @@ def make_expand(spec: RoundSpec, dynamics: Callable, lqr: Callable,
     return expand
 
 
+def commit_candidates(spec: RoundSpec, tree: TreeArrays, c: Candidates,
+                      mode: str = "grow") -> TreeArrays:
+    """Shared commit-path selection for single-chip and sharded rounds.
+
+    mode="grow": append every feasible candidate (dense slice when the tree
+    carries >= batch slack rows, masked scatter otherwise).  mode="refine":
+    leaf replacement for a full tree (commit_batch_refine).
+    """
+    if mode == "refine":
+        return commit_batch_refine(
+            tree, spec.dt, spec.capacity, c.pids, c.length, c.x_seq, c.u_seq,
+            c.xnew, c.S_new, c.K_new, c.in_goal, c.gcost)
+    if spec.slack >= c.pids.shape[0]:  # scatter-free dense commit
+        return commit_batch_dense(
+            tree, spec.dt, spec.capacity, c.pids, c.length, c.x_seq,
+            c.u_seq, c.xnew, c.S_new, c.K_new, c.in_goal, c.gcost)
+    return commit_batch(tree, spec.dt, c.pids, c.length, c.x_seq, c.u_seq,
+                        c.xnew, c.S_new, c.K_new, c.in_goal, c.gcost)
+
+
 def make_round(spec: RoundSpec, dynamics: Callable, lqr: Callable,
                erf: Callable, is_feasible: Callable, error_tol,
                goal_buffer, wrap_mask=None,
                xrand_gen: Callable | None = None,
                saturate: Callable | None = None,
-               nearest_fn: Callable | None = None) -> Callable:
+               nearest_fn: Callable | None = None,
+               commit: str = "grow") -> Callable:
     """Build the jittable single-chip round function.
 
     round(tree, key, goal, sample_space, goal_bias, bias_target) -> TreeArrays
@@ -135,6 +156,8 @@ def make_round(spec: RoundSpec, dynamics: Callable, lqr: Callable,
     feasibility function, SURVEY.md C9) requires rebuilding the round.
     ``wrap_mask``: optional (n,) bool marking angle dims to wrap when storing
     node states (keeps the NN metric exact for angle dims).
+    ``commit``: "grow" (append) or "refine" (leaf replacement for a full
+    tree — the anytime budget keeps buying plan quality past capacity).
     """
     expand = make_expand(spec, dynamics, lqr, erf, is_feasible, error_tol,
                          goal_buffer, wrap_mask=wrap_mask, saturate=saturate,
@@ -152,12 +175,7 @@ def make_round(spec: RoundSpec, dynamics: Callable, lqr: Callable,
         c = expand(tree, xrand, goal)
 
         # --- masked compacting commit (C8 insert) ---
-        if spec.slack >= spec.batch:   # scatter-free dense commit
-            return commit_batch_dense(
-                tree, spec.dt, spec.capacity, c.pids, c.length, c.x_seq,
-                c.u_seq, c.xnew, c.S_new, c.K_new, c.in_goal, c.gcost)
-        return commit_batch(tree, spec.dt, c.pids, c.length, c.x_seq, c.u_seq,
-                            c.xnew, c.S_new, c.K_new, c.in_goal, c.gcost)
+        return commit_candidates(spec, tree, c, mode=commit)
 
     return round_fn
 

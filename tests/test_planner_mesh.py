@@ -129,12 +129,15 @@ def test_mesh_planner_fpr_and_kill(prob):
     mesh = meshlib.make_mesh(N_DEV)
     planner = _mk_planner(prob, mesh=mesh, FPR=0.25, batch=64,
                           rounds_per_chunk=2)
+    def n_grow_chunks():
+        return sum(1 for k in planner._chunk_cache if k[3] == "grow")
+
     planner.update_plan(prob["x0"], prob["sample_space"], goal_bias=0.2,
                         pruning=False, specific_time=1.0)
-    assert len(planner._chunk_cache) == 1
+    assert n_grow_chunks() == 1
     planner.update_plan(prob["x0"], prob["sample_space"], goal_bias=0.2,
                         pruning=False, specific_time=1.0)
-    assert len(planner._chunk_cache) == 1  # FPR replan reuses the chunk
+    assert n_grow_chunks() == 1  # FPR replan reuses the chunk
 
     # kill: flag up via the sys_time hook -> exits at the next chunk boundary
     calls = {"n": 0}
