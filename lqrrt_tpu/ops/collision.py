@@ -130,3 +130,58 @@ class OccupancyGrid:
             return jnp.logical_not(jnp.any(self.occupied(pts)))
 
         return is_feasible
+
+
+# ---------------------------------------------------------------- data-driven
+# 3-arg predicates for Constraints(feasibility_data=...): the obstacle field
+# is a pytree of arrays threaded through the compiled planner round as a
+# traced argument, so moving obstacles update with ZERO recompiles
+# (Constraints.set_feasibility_data; reference C9 "dynamic obstacle updates").
+
+
+def circles_free_data(pos_dims: Sequence[int] = (0, 1),
+                      margin: float = 0.0) -> Callable:
+    """is_feasible(x, u, data) over a dynamic circle field.
+
+    data = {"centers": (K, 2), "radii": (K,)}; K is fixed (shape changes
+    recompile), pad unused slots with radius < 0 to deactivate them.
+    """
+    pos_dims = np.asarray(list(pos_dims))
+    m = float(margin)
+
+    def is_feasible(x, u, data):
+        del u
+        p = x[pos_dims]
+        centers = jnp.asarray(data["centers"], jnp.float32)
+        radii = jnp.asarray(data["radii"], jnp.float32)
+        d2 = jnp.sum((centers - p) ** 2, axis=-1)
+        hit = (radii >= 0.0) & (d2 <= (radii + m) ** 2)
+        return jnp.logical_not(jnp.any(hit))
+
+    return is_feasible
+
+
+def grid_free_data(origin, resolution: float,
+                   pos_dims: Sequence[int] = (0, 1)) -> Callable:
+    """is_feasible(x, u, occ) over a dynamic occupancy grid.
+
+    ``occ`` (the feasibility_data) is an (H, W) array, nonzero = occupied,
+    with the fixed world transform (origin, resolution); refreshed grids of
+    the same shape update with zero recompiles.  Out-of-bounds = occupied.
+    """
+    origin = np.asarray(origin, np.float32)
+    res = float(resolution)
+    pos_dims = np.asarray(list(pos_dims))
+
+    def is_feasible(x, u, occ):
+        del u
+        p = x[pos_dims]
+        occ = jnp.asarray(occ) != 0
+        H, W = occ.shape  # noqa: N806
+        cell = jnp.floor((p - origin) / res).astype(jnp.int32)
+        cx, cy = cell[0], cell[1]
+        inb = (cx >= 0) & (cx < W) & (cy >= 0) & (cy < H)
+        hit = occ[jnp.clip(cy, 0, H - 1), jnp.clip(cx, 0, W - 1)]
+        return jnp.logical_not(jnp.where(inb, hit, True))
+
+    return is_feasible

@@ -142,6 +142,7 @@ class Planner:
         self.refine = bool(refine)
 
         self._key = jax.random.PRNGKey(seed)
+        self._feas_args = ()            # (data,) during a 3-arg-feas replan
         self._lqr_const = None          # lazily probed (see _lqr_is_constant)
         self.nn_selected = "jnp"        # backend actually picked at trace time
         self._chunk_cache = {}
@@ -293,12 +294,26 @@ class Planner:
             self._chunk_cache[key] = fn
             return fn
 
-        if n_fpr > 0:
-            # FPR warm start: n_fpr of each batch resampled from the previous
-            # committed plan, threaded through as a traced argument so one
-            # compiled chunk serves every replan.
-            def call(tree, k, goal, sample_space, goal_bias, bias_target,
-                     prev_plan):
+        user_feas = self.constraints.is_feasible
+        uses_data = self.constraints.feasibility_data is not None
+
+        # ``extra`` traced args, in order: [prev_plan (FPR)], [feas_data].
+        # Both ride through the ONE compiled chunk as traced arguments, so
+        # FPR replans and dynamic-obstacle updates (SURVEY.md C9) never
+        # retrace: set_feasibility_data swaps values, not code.
+        def call(tree, k, goal, sample_space, goal_bias, bias_target,
+                 *extra):
+            ex = list(extra)
+            feas = user_feas
+            if uses_data:
+                data = ex.pop()
+                feas = lambda x, u: user_feas(x, u, data)  # noqa: E731
+            gen = xrand_gen
+            if n_fpr > 0:
+                # FPR warm start: n_fpr of each batch resampled from the
+                # previous committed plan
+                prev_plan = ex.pop(0)
+
                 def gen(kk, B):
                     k1, k2 = jax.random.split(kk)
                     fresh = sample_batch(k1, B - n_fpr, sample_space,
@@ -306,20 +321,10 @@ class Planner:
                     rows = jax.random.randint(k2, (n_fpr,), 0,
                                               prev_plan.shape[0])
                     return jnp.concatenate([prev_plan[rows], fresh], 0)
-                fn = make_round(spec, self.dynamics, self.lqr, self.erf,
-                                self.constraints.is_feasible, self.error_tol,
-                                self.constraints.goal_buffer, xrand_gen=gen,
-                                commit=commit, **common)
-                return fn(tree, k, goal, sample_space, goal_bias, bias_target)
-        else:
-            base = make_round(spec, self.dynamics, self.lqr, self.erf,
-                              self.constraints.is_feasible, self.error_tol,
-                              self.constraints.goal_buffer,
-                              xrand_gen=xrand_gen, commit=commit, **common)
-
-            def call(tree, k, goal, sample_space, goal_bias, bias_target):
-                return base(tree, k, goal, sample_space, goal_bias,
-                            bias_target)
+            fn = make_round(spec, self.dynamics, self.lqr, self.erf, feas,
+                            self.error_tol, self.constraints.goal_buffer,
+                            xrand_gen=gen, commit=commit, **common)
+            return fn(tree, k, goal, sample_space, goal_bias, bias_target)
 
         n_inner = self.rounds_per_chunk
 
@@ -352,19 +357,28 @@ class Planner:
 
         n_dev = self.mesh.shape[self.mesh_axis]
         n_inner = self.rounds_per_chunk
+        user_feas = self.constraints.is_feasible
+        uses_data = self.constraints.feasibility_data is not None
         mk_body = dict(
             spec=spec, n_dev=n_dev, dynamics=self.dynamics, lqr=self.lqr,
-            erf=self.erf, is_feasible=self.constraints.is_feasible,
-            error_tol=self.error_tol, goal_buffer=self.constraints.goal_buffer,
+            erf=self.erf, error_tol=self.error_tol,
+            goal_buffer=self.constraints.goal_buffer,
             axis=self.mesh_axis, collective=self.collective, topk=self.topk,
             commit=commit, **common)
 
         def device_fn(tree, base_key, start, goal, sample_space, goal_bias,
                       bias_target, *extra):
+            ex = list(extra)
+            feas = user_feas
+            if uses_data:
+                # dynamic-obstacle data rides replicated through the chunk
+                data = ex.pop()
+                feas = lambda x, u: user_feas(x, u, data)  # noqa: E731
+            gen = xrand_gen
             if n_fpr > 0:
                 # FPR warm start, sharded: each device draws its share of the
                 # previous-plan resamples (the pool is replicated and tiny).
-                prev_plan = extra[0]
+                prev_plan = ex.pop(0)
                 n_loc = min(max(n_fpr // n_dev, 1), spec.batch // n_dev - 1)
 
                 def gen(kk, B):
@@ -374,9 +388,8 @@ class Planner:
                     rows = jax.random.randint(k2, (n_loc,), 0,
                                               prev_plan.shape[0])
                     return jnp.concatenate([prev_plan[rows], fresh], 0)
-                body = make_sharded_round_body(xrand_gen=gen, **mk_body)
-            else:
-                body = make_sharded_round_body(xrand_gen=xrand_gen, **mk_body)
+            body = make_sharded_round_body(xrand_gen=gen, is_feasible=feas,
+                                           **mk_body)
 
             def one(i, t):
                 k = jax.random.fold_in(base_key, start + i)
@@ -388,7 +401,7 @@ class Planner:
             return tree, stats
 
         rep = P()
-        n_args = 7 + (1 if n_fpr > 0 else 0)
+        n_args = 7 + (1 if n_fpr > 0 else 0) + (1 if uses_data else 0)
         fn = shard_map(device_fn, mesh=self.mesh, in_specs=(rep,) * n_args,
                        out_specs=(rep, rep), check_vma=False)
         return jax.jit(fn, donate_argnums=(0,))
@@ -423,15 +436,28 @@ class Planner:
     def _get_steer(self, batch: int, steps: Optional[int] = None):
         """Jitted batched steer, cached per (batch, horizon) shape (pruning
         uses the all-pairs batch; finish_on_goal a small extended-horizon
-        tile)."""
+        tile).  With a 3-arg is_feasible(x, u, data) the returned function
+        takes the obstacle data as a trailing traced argument (call sites
+        append ``self._feas_args``)."""
         steps = self.horizon_steps if steps is None else steps
-        key = (batch, steps)
+        key = (batch, steps, self.constraints._feasibility_version)
         if key not in self._steer_jit:
-            steer = make_steer(self.dynamics, self.erf,
-                               self.constraints.is_feasible,
-                               steps, self.dt, self.error_tol,
-                               saturate=self.saturate)
-            self._steer_jit[key] = jax.jit(steer)
+            if self.constraints.feasibility_data is not None:
+                user_feas = self.constraints.is_feasible
+
+                def steer_data(x0, K, xtar, data):
+                    s = make_steer(self.dynamics, self.erf,
+                                   lambda x, u: user_feas(x, u, data),
+                                   steps, self.dt, self.error_tol,
+                                   saturate=self.saturate)
+                    return s(x0, K, xtar)
+                self._steer_jit[key] = jax.jit(steer_data)
+            else:
+                steer = make_steer(self.dynamics, self.erf,
+                                   self.constraints.is_feasible,
+                                   steps, self.dt, self.error_tol,
+                                   saturate=self.saturate)
+                self._steer_jit[key] = jax.jit(steer)
         return self._steer_jit[key]
 
     # ------------------------------------------------------------ update_plan
@@ -477,6 +503,17 @@ class Planner:
                 pool = np.linspace(np.asarray(x0), np.asarray(self.goal),
                                    _FPR_PLAN_LEN, dtype=np.float32)
             extra = (jnp.asarray(pool, jnp.float32),)
+
+        # Dynamic-obstacle data (Constraints.set_feasibility_data, SURVEY.md
+        # C9): fetched fresh each replan and threaded through as the last
+        # traced chunk argument — value updates never recompile.
+        if self.constraints.feasibility_data is not None:
+            feas_data = jax.tree.map(jnp.asarray,
+                                     self.constraints.feasibility_data)
+            extra = extra + (feas_data,)
+            self._feas_args = (feas_data,)
+        else:
+            self._feas_args = ()
 
         chunk_fn = self._get_chunk(xrand_gen, n_fpr)
 
@@ -638,7 +675,7 @@ class Planner:
         tgt_flat = np.tile(src, (M, 1))                  # (M*M, n)
         steer = self._get_steer(M * M)
         res = steer(jnp.asarray(x0_flat), jnp.asarray(K_flat),
-                    jnp.asarray(tgt_flat))
+                    jnp.asarray(tgt_flat), *self._feas_args)
         reached = np.asarray(res.reached).reshape(M, M)
         length = np.asarray(res.length).reshape(M, M)
 
@@ -707,7 +744,8 @@ class Planner:
         Sg, Kg, _, _ = self._get_seed()(jnp.asarray(x_seq[-1]), self.goal,
                                         self.constraints.goal_buffer)
         res = steer(x_end, jnp.tile(Kg[None], (_FINISH_BATCH, 1, 1)),
-                    jnp.tile(self.goal[None, :], (_FINISH_BATCH, 1)))
+                    jnp.tile(self.goal[None, :], (_FINISH_BATCH, 1)),
+                    *self._feas_args)
         ln = int(np.asarray(res.length)[0])
         if bool(np.asarray(res.reached)[0]):
             cut = ln

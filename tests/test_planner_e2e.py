@@ -271,3 +271,56 @@ def test_refinement_after_capacity():
             ID = int(parent[ID]) if ID else -1
             seen += 1
             assert seen <= size, "cycle in parent graph"
+
+
+def test_dynamic_obstacles_zero_recompile():
+    """Moving-obstacle replans via Constraints.set_feasibility_data: the
+    obstacle field rides through the compiled chunk as a traced argument, so
+    value updates cost ZERO recompiles (reference C9 dynamic obstacle swap,
+    VERDICT r1 item 4) — and the updated field is actually honored."""
+    from lqrrt_tpu.constraints import Constraints
+    from lqrrt_tpu.ops.collision import circles_free_data
+
+    prob = di.default_problem(obstacles=False)
+    data0 = {"centers": np.array([[1.5, 0.0]], np.float32),
+             "radii": np.array([0.6], np.float32)}
+    cons = Constraints(nstates=4, ncontrols=2,
+                       goal_buffer=prob["constraints"].goal_buffer,
+                       is_feasible=circles_free_data(margin=0.05),
+                       feasibility_data=data0)
+    planner = lqrrt_tpu.Planner(
+        prob["dynamics"], prob["lqr"], cons, horizon=prob["horizon"],
+        dt=prob["dt"], goal0=prob["goal"], printing=False, batch_size=64,
+        capacity=512, nn_block=128, saturate=prob["saturate"], seed=2)
+    reached = planner.update_plan(prob["x0"], prob["sample_space"],
+                                  goal_bias=0.2, pruning=True,
+                                  specific_time=2.0)
+    assert reached
+    n_compiled = len(planner._chunk_cache)
+
+    def min_clearance(p, c, r):
+        d = np.linalg.norm(np.asarray(p.x_seq)[:, :2] - c, axis=1) - r
+        return d.min()
+
+    assert min_clearance(planner, data0["centers"][0], 0.6) > 0.0
+
+    # the buoy moves: same shapes, new values -> same compiled chunks
+    data1 = {"centers": np.array([[1.5, 0.35]], np.float32),
+             "radii": np.array([0.7], np.float32)}
+    cons.set_feasibility_data(data1)
+    reached = planner.update_plan(prob["x0"], prob["sample_space"],
+                                  goal_bias=0.2, pruning=True,
+                                  specific_time=2.0)
+    assert reached
+    assert len(planner._chunk_cache) == n_compiled  # zero new chunk variants
+    assert min_clearance(planner, data1["centers"][0], 0.7) > 0.0
+    # and the new plan respects the NEW field, which the old one need not
+    assert planner.plan_reached_goal
+
+
+def test_feasibility_data_requires_ctor():
+    from lqrrt_tpu.constraints import Constraints
+    cons = Constraints(nstates=4, ncontrols=2, goal_buffer=np.ones(4))
+    import pytest
+    with pytest.raises(ValueError, match="feasibility_data"):
+        cons.set_feasibility_data({"x": np.zeros(3)})

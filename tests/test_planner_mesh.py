@@ -159,3 +159,35 @@ def test_mesh_batch_divisibility_error(prob):
     mesh = meshlib.make_mesh(N_DEV)
     with pytest.raises(ValueError, match="divide"):
         _mk_planner(prob, mesh=mesh, batch=60)
+
+
+def test_mesh_planner_dynamic_obstacle_data(prob):
+    """feasibility_data threading works under shard_map too: the obstacle
+    pytree is replicated through the chunk, zero recompiles on updates."""
+    from lqrrt_tpu.constraints import Constraints
+    from lqrrt_tpu.ops.collision import circles_free_data
+
+    base = di.default_problem(obstacles=False)
+    data0 = {"centers": np.array([[1.5, 0.0]], np.float32),
+             "radii": np.array([0.5], np.float32)}
+    cons = Constraints(nstates=4, ncontrols=2,
+                       goal_buffer=base["constraints"].goal_buffer,
+                       is_feasible=circles_free_data(margin=0.05),
+                       feasibility_data=data0)
+    mesh = meshlib.make_mesh(N_DEV)
+    planner = lqrrt_tpu.Planner(
+        base["dynamics"], base["lqr"], cons, horizon=base["horizon"],
+        dt=base["dt"], goal0=base["goal"], printing=False, batch_size=64,
+        capacity=512, nn_block=128, saturate=base["saturate"], seed=2,
+        mesh=mesh)
+    assert planner.update_plan(base["x0"], base["sample_space"],
+                               goal_bias=0.2, specific_time=2.0)
+    n = len(planner._chunk_cache)
+    cons.set_feasibility_data({"centers": np.array([[1.2, 0.2]], np.float32),
+                               "radii": np.array([0.6], np.float32)})
+    assert planner.update_plan(base["x0"], base["sample_space"],
+                               goal_bias=0.2, specific_time=2.0)
+    assert len(planner._chunk_cache) == n
+    d = np.linalg.norm(np.asarray(planner.x_seq)[:, :2]
+                       - np.array([1.2, 0.2]), axis=1) - 0.6
+    assert d.min() > 0.0
