@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--batch-per-device", type=int, default=256)
     ap.add_argument("--scenarios-per-device", type=int, default=8)
     ap.add_argument("--capacity", type=int, default=4096)
+    ap.add_argument("--out", type=str, default=None,
+                    help="append one JSON record per device count to a file")
     args = ap.parse_args()
 
     if args.virtual_cpu:
@@ -106,18 +108,43 @@ def main():
         dt_fleet = time.perf_counter() - t0
         eps_fleet = st["expansions"] / dt_fleet
 
-        results[n_dev] = (eps_round, eps_fleet)
-        base_r, base_f = results[counts[0]]
-        print(json.dumps({
+        # ---- (c) the mesh Planner facade: full anytime update_plan ----
+        # refine=False: this measures GROW throughput scaling; refinement
+        # rounds would otherwise start (and lazily compile) whenever the
+        # tree fills within the budget, polluting the wall-clock number
+        import lqrrt_tpu
+        planner = lqrrt_tpu.Planner(
+            prob["dynamics"], prob["lqr"], prob["constraints"],
+            horizon=2.0, dt=prob["dt"], goal0=prob["goal"], printing=False,
+            batch_size=B, capacity=args.capacity,
+            nn_block=min(1024, args.capacity), wrap_dims=(2,),
+            saturate=prob["saturate"], seed=0, refine=False,
+            mesh=(mesh if n_dev > 1 else None))
+        planner.update_plan(prob["x0"], prob["sample_space"], goal_bias=0.2,
+                            specific_time=0.05, pruning=False)  # warm
+        planner.update_plan(prob["x0"], prob["sample_space"], goal_bias=0.2,
+                            specific_time=1.0, pruning=False)
+        eps_planner = planner.stats["expansions_per_s"]
+
+        results[n_dev] = (eps_round, eps_fleet, eps_planner)
+        base_r, base_f, base_p = results[counts[0]]
+        rec = {
             "devices": n_dev,
             "sharded_round_expansions_per_s": round(eps_round),
             "fleet_expansions_per_s": round(eps_fleet),
+            "mesh_planner_expansions_per_s": round(eps_planner),
             "sharded_round_scaling_eff": round(
                 eps_round / (base_r * n_dev / counts[0]), 3),
             "fleet_scaling_eff": round(
                 eps_fleet / (base_f * n_dev / counts[0]), 3),
+            "mesh_planner_scaling_eff": round(
+                eps_planner / (base_p * n_dev / counts[0]), 3),
             "platform": jax.devices()[0].platform,
-        }), flush=True)
+        }
+        print(json.dumps(rec), flush=True)
+        if args.out:
+            with open(args.out, "a") as f:
+                f.write(json.dumps(rec) + "\n")
 
 
 if __name__ == "__main__":

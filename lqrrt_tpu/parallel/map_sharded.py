@@ -75,6 +75,47 @@ class ShardedGrid:
         return local, oob
 
 
+def make_grid_truncate(spec: RoundSpec, grid: ShardedGrid, lqr: Callable,
+                       erf: Callable, goal_buffer, axis: str) -> Callable:
+    """Build truncate(tree, c, slab, goal) -> Candidates: the sharded
+    collision pass.  Each device scores the rollout batch against its LOCAL
+    slab; ONE psum over ``axis`` assembles the global occupied mask, and each
+    rollout is truncated at its first occupied step (exact — infeasibility
+    only truncates, it never changes the state sequence).  The endpoint LQR,
+    goal test, and cost-to-go are recomputed at the truncated endpoint.
+    Shared by the map-only round (P3) and the dp x map composed round."""
+    lqr_batch = jax.vmap(lqr)
+    erf_goal = jax.vmap(erf, in_axes=(None, 0))
+    goal_buffer = jnp.asarray(goal_buffer, jnp.float32)
+    pos_dims = tuple(int(d) for d in grid.pos_dims)
+
+    def truncate(tree, c, slab, goal):
+        p = c.x_seq[..., pos_dims]                       # (B, H, 2)
+        shard_idx = jax.lax.axis_index(axis)
+        local, oob = grid.occupied_local(p, slab[0], shard_idx)
+        occupied = (jax.lax.psum(local.astype(jnp.int32), axis) > 0) | oob
+
+        H = spec.horizon_steps
+        any_occ = jnp.any(occupied, axis=1)
+        first = jnp.where(any_occ, jnp.argmax(occupied, axis=1), H)
+        length = jnp.minimum(c.length, first.astype(jnp.int32))
+        x0 = tree.state[c.pids]
+        last = jnp.maximum(length - 1, 0)
+        xland = jnp.take_along_axis(c.x_seq, last[:, None, None],
+                                    axis=1)[:, 0, :]
+        xnew = jnp.where((length >= 1)[:, None], xland, x0)
+        u_last = jnp.take_along_axis(c.u_seq, last[:, None, None],
+                                     axis=1)[:, 0, :]
+        S_new, K_new = lqr_batch(xnew, u_last)
+        e_goal = erf_goal(goal, xnew)
+        in_goal = jnp.all(jnp.abs(e_goal) <= goal_buffer, axis=-1)
+        gcost = jnp.einsum("bi,bij,bj->b", e_goal, S_new, e_goal)
+        return c._replace(length=length, xnew=xnew, S_new=S_new, K_new=K_new,
+                          in_goal=in_goal, gcost=gcost)
+
+    return truncate
+
+
 def make_map_sharded_round(spec: RoundSpec, mesh: Mesh, grid: ShardedGrid,
                            dynamics: Callable, lqr: Callable, erf: Callable,
                            local_feasible: Callable, error_tol, goal_buffer,
@@ -92,10 +133,7 @@ def make_map_sharded_round(spec: RoundSpec, mesh: Mesh, grid: ShardedGrid,
     expand = make_expand(spec, dynamics, lqr, erf, local_feasible, error_tol,
                          goal_buffer, wrap_mask=wrap_mask, saturate=saturate,
                          nearest_fn=nearest_fn)
-    lqr_batch = jax.vmap(lqr)
-    erf_goal = jax.vmap(erf, in_axes=(None, 0))
-    goal_buffer = jnp.asarray(goal_buffer, jnp.float32)
-    pos_dims = tuple(int(d) for d in grid.pos_dims)
+    truncate = make_grid_truncate(spec, grid, lqr, erf, goal_buffer, axis)
 
     def round_body(tree: TreeArrays, slab, key, goal, sample_space,
                    goal_bias, bias_target) -> TreeArrays:
@@ -104,39 +142,78 @@ def make_map_sharded_round(spec: RoundSpec, mesh: Mesh, grid: ShardedGrid,
         xrand = sample_batch(key, spec.batch, sample_space, goal_bias,
                              bias_target)
         c = expand(tree, xrand, goal)
-
         # ---- sharded collision pass over the whole rollout batch (P3) ----
-        p = c.x_seq[..., pos_dims]                       # (B, H, 2)
-        shard_idx = jax.lax.axis_index(axis)
-        local, oob = grid.occupied_local(p, slab[0], shard_idx)
-        occupied = (jax.lax.psum(local.astype(jnp.int32), axis) > 0) | oob
-
-        # truncate each rollout at its first occupied step (exactness: see
-        # module docstring)
-        H = spec.horizon_steps
-        any_occ = jnp.any(occupied, axis=1)
-        first = jnp.where(any_occ, jnp.argmax(occupied, axis=1), H)
-        length = jnp.minimum(c.length, first.astype(jnp.int32))
-        x0 = tree.state[c.pids]
-        last = jnp.maximum(length - 1, 0)
-        xland = jnp.take_along_axis(c.x_seq, last[:, None, None],
-                                    axis=1)[:, 0, :]
-        xnew = jnp.where((length >= 1)[:, None], xland, x0)
-        u_last = jnp.take_along_axis(c.u_seq, last[:, None, None],
-                                     axis=1)[:, 0, :]
-        S_new, K_new = lqr_batch(xnew, u_last)
-        e_goal = erf_goal(goal, xnew)
-        in_goal = jnp.all(jnp.abs(e_goal) <= goal_buffer, axis=-1)
-        gcost = jnp.einsum("bi,bij,bj->b", e_goal, S_new, e_goal)
+        c = truncate(tree, c, slab, goal)
 
         commit = (commit_batch_dense if spec.slack >= spec.batch
                   else lambda t, dt, _lim, *a: commit_batch(t, dt, *a))
-        return commit(tree, spec.dt, spec.capacity, c.pids, length, c.x_seq,
-                      c.u_seq, xnew, S_new, K_new, in_goal, gcost)
+        return commit(tree, spec.dt, spec.capacity, c.pids, c.length, c.x_seq,
+                      c.u_seq, c.xnew, c.S_new, c.K_new, c.in_goal, c.gcost)
 
     rep = P()
     return shard_map(
         round_body, mesh=mesh,
         in_specs=(rep, P(axis), rep, rep, rep, rep, rep),
+        out_specs=rep,
+        check_vma=False)
+
+
+def make_dp_map_round(spec: RoundSpec, mesh: Mesh, grid: ShardedGrid,
+                      dynamics: Callable, lqr: Callable, erf: Callable,
+                      local_feasible: Callable, error_tol, goal_buffer,
+                      wrap_mask=None, saturate: Callable | None = None,
+                      nearest_fn: Callable | None = None,
+                      dp_axis: str = "dp", map_axis: str = "map") -> Callable:
+    """P1 x P3 composed round over a 2-D (dp, map) mesh: the candidate batch
+    is sharded over ``dp_axis`` AND the occupancy grid over ``map_axis`` —
+    the harbor-scale-map + large-batch case the mutually-exclusive P1/P3
+    rounds could not express (round-1 review, missing item 3).
+
+    Layout: device (i, j) steers candidate shard i (identical for all j —
+    the key folds over dp only) and holds grid slab j.  Per round: the
+    collision psum over ``map_axis`` assembles each dp-row's full verdicts,
+    then the all-gather over ``dp_axis`` exchanges the surviving candidates;
+    the tree commits replicated everywhere.  Comm: one (local_b x H) int
+    psum on the map axis + the candidate gather on the dp axis.
+
+    round(tree, slab, key, goal, sample_space, goal_bias, bias_target).
+    spec.batch is the GLOBAL candidate batch (divided over dp_axis).
+    """
+    n_dp = mesh.shape[dp_axis]
+    n_map = mesh.shape[map_axis]
+    assert grid.n_shards == n_map, (grid.n_shards, n_map)
+    if spec.batch % n_dp != 0:
+        raise ValueError(f"batch {spec.batch} not divisible by {dp_axis}="
+                         f"{n_dp}")
+    local_b = spec.batch // n_dp
+    expand = make_expand(spec, dynamics, lqr, erf, local_feasible, error_tol,
+                         goal_buffer, wrap_mask=wrap_mask, saturate=saturate,
+                         nearest_fn=nearest_fn)
+    truncate = make_grid_truncate(spec, grid, lqr, erf, goal_buffer, map_axis)
+
+    def round_body(tree: TreeArrays, slab, key, goal, sample_space,
+                   goal_bias, bias_target) -> TreeArrays:
+        # P1: per-dp-row key fold; all map shards of a row draw identically
+        di = jax.lax.axis_index(dp_axis)
+        key_i = jax.random.fold_in(key, di)
+        xrand = sample_batch(key_i, local_b, sample_space, goal_bias,
+                             bias_target)
+        c = expand(tree, xrand, goal)        # local compute
+        # P3: map-axis collision reduction on the local candidate shard
+        c = truncate(tree, c, slab, goal)
+        # P2: candidate exchange over the dp axis, replicated commit
+        c_full = jax.tree.map(
+            lambda x: jax.lax.all_gather(x, dp_axis, axis=0, tiled=True), c)
+        commit = (commit_batch_dense if spec.slack >= spec.batch
+                  else lambda t, dt, _lim, *a: commit_batch(t, dt, *a))
+        return commit(tree, spec.dt, spec.capacity, c_full.pids,
+                      c_full.length, c_full.x_seq, c_full.u_seq, c_full.xnew,
+                      c_full.S_new, c_full.K_new, c_full.in_goal,
+                      c_full.gcost)
+
+    rep = P()
+    return shard_map(
+        round_body, mesh=mesh,
+        in_specs=(rep, P(map_axis), rep, rep, rep, rep, rep),
         out_specs=rep,
         check_vma=False)

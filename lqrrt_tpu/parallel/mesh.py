@@ -29,6 +29,31 @@ def make_fleet_mesh(n_devices: int | None = None) -> Mesh:
     return make_mesh(n_devices, axis="scenario")
 
 
+def make_mesh_2d(n_hosts: int, chips_per_host: int | None = None,
+                 axes: tuple[str, str] = ("host", "dp")) -> Mesh:
+    """2-D (hosts x chips) mesh (P5, SURVEY.md 2.4): the leading axis maps
+    across hosts (collectives over it ride DCN on a multi-host slice), the
+    trailing axis across each host's chips (ICI).
+
+    Device order: jax.devices() groups devices by process on a multi-host
+    deployment, so reshaping to (n_hosts, chips_per_host) puts each row on
+    one host.  The candidate-sharded round shards over BOTH axes by passing
+    ``axis=axes`` (a tuple) to make_sharded_round*; its collectives then
+    reduce hierarchically (ICI within a host, DCN across).
+    """
+    devs = jax.devices()
+    if chips_per_host is None:
+        if len(devs) % n_hosts != 0:
+            raise ValueError(
+                f"{len(devs)} devices not divisible by n_hosts={n_hosts}")
+        chips_per_host = len(devs) // n_hosts
+    need = n_hosts * chips_per_host
+    if len(devs) < need:
+        raise ValueError(f"need {need} devices, have {len(devs)}")
+    grid = np.asarray(devs[:need]).reshape(n_hosts, chips_per_host)
+    return Mesh(grid, axes)
+
+
 def init_distributed(coordinator: str | None = None,
                      num_processes: int | None = None,
                      process_id: int | None = None):

@@ -50,6 +50,19 @@ except AttributeError:  # pragma: no cover
 _GOAL_SCORE_OFFSET = 1e9   # goal candidates rank below any cost-to-go score
 
 
+def mesh_axis_size(mesh: Mesh, axis) -> int:
+    """Total device count over ``axis`` (one name or a tuple of names — the
+    2-D (hosts x chips) mesh of parallel.mesh.make_mesh_2d shards candidates
+    over BOTH axes; XLA collectives take the tuple directly and reduce
+    hierarchically, ICI within a host and DCN across)."""
+    if isinstance(axis, str):
+        return mesh.shape[axis]
+    out = 1
+    for a in axis:
+        out *= mesh.shape[a]
+    return out
+
+
 def candidate_scores(tree: TreeArrays, c: Candidates, dt: float):
     """Commit priority, lower = better: infeasible -> +inf; goal-reaching ->
     (root->node time - OFFSET), i.e. always ahead of non-goal; otherwise the
@@ -76,6 +89,8 @@ def make_sharded_round_body(
     The tree argument and result are the per-device (replicated) copies.
     ``xrand_gen(key, local_batch)``, if given, replaces the default sampler;
     it receives a per-device folded key.  spec.batch is the GLOBAL batch.
+    ``axis`` is one mesh axis name or a tuple of names (2-D hosts x chips
+    mesh): axis_index and the collectives take the tuple directly.
     ``commit``: "grow" or "refine" (leaf replacement once the tree is full;
     core/commit.py commit_batch_refine) — replicated and deterministic, so
     the per-device trees stay bit-identical in either mode.
@@ -160,8 +175,8 @@ def make_sharded_round(spec: RoundSpec, mesh: Mesh, dynamics: Callable,
     candidate shard against the replicated tree.
     """
     body = make_sharded_round_body(
-        spec, mesh.shape[axis], dynamics, lqr, erf, is_feasible, error_tol,
-        goal_buffer, wrap_mask=wrap_mask, saturate=saturate,
+        spec, mesh_axis_size(mesh, axis), dynamics, lqr, erf, is_feasible,
+        error_tol, goal_buffer, wrap_mask=wrap_mask, saturate=saturate,
         nearest_fn=nearest_fn, xrand_gen=xrand_gen, axis=axis,
         collective=collective, topk=topk, commit=commit)
     rep = P()

@@ -71,7 +71,10 @@ class Planner:
         if collective not in ("gather", "topk"):
             raise ValueError(f"unknown collective {collective!r}")
         if mesh is not None:
-            n_dev = mesh.shape[mesh_axis]
+            from .parallel.sharded import mesh_axis_size
+            if not isinstance(mesh_axis, str):
+                mesh_axis = tuple(mesh_axis)   # hashable for the chunk cache
+            n_dev = mesh_axis_size(mesh, mesh_axis)
             if int(batch_size) % n_dev != 0:
                 raise ValueError(
                     f"batch_size={batch_size} must divide by the mesh "
@@ -353,9 +356,10 @@ class Planner:
         devices round after round (parallel/sharded.py invariant)."""
         from jax.sharding import PartitionSpec as P
 
-        from .parallel.sharded import make_sharded_round_body, shard_map
+        from .parallel.sharded import (make_sharded_round_body,
+                                       mesh_axis_size, shard_map)
 
-        n_dev = self.mesh.shape[self.mesh_axis]
+        n_dev = mesh_axis_size(self.mesh, self.mesh_axis)
         n_inner = self.rounds_per_chunk
         user_feas = self.constraints.is_feasible
         uses_data = self.constraints.feasibility_data is not None

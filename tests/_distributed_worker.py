@@ -1,0 +1,86 @@
+"""Worker for the 2-process jax.distributed test (P5, SURVEY.md 2.4).
+
+Each process owns 4 virtual CPU devices; after parallel.mesh.init_distributed
+the global device count is 8 across 2 processes.  The worker builds the 2-D
+(hosts x chips) mesh over the GLOBAL device set, checks a flat-index psum,
+then runs one candidate-sharded expansion round of the double-integrator
+problem and prints the resulting tree size — the same collectives a real
+2-host pod slice would run over DCN + ICI.
+
+Usage: python _distributed_worker.py <coordinator> <num_procs> <process_id>
+"""
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=4")
+sys.path.insert(0, os.path.join(os.path.dirname(
+    os.path.abspath(__file__)), ".."))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def main():
+    coordinator, num_procs, pid = (sys.argv[1], int(sys.argv[2]),
+                                   int(sys.argv[3]))
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from lqrrt_tpu.parallel import mesh as meshlib
+
+    meshlib.init_distributed(coordinator, num_procs, pid)
+    assert jax.process_count() == num_procs, jax.process_count()
+    n_global = jax.device_count()
+    assert n_global == 4 * num_procs, n_global
+    mesh = meshlib.make_mesh_2d(num_procs, 4)
+
+    # --- collective smoke: sum of flat device ids over (host, dp) ---
+    def ids(_):
+        i = jax.lax.axis_index(("host", "dp"))
+        return jax.lax.psum(jnp.float32(i), ("host", "dp"))[None]
+
+    out = jax.jit(jax.shard_map(
+        ids, mesh=mesh, in_specs=P(), out_specs=P(),
+        check_vma=False))(jnp.zeros(()))
+    # fully-replicated result: every process reads its local replica
+    total = float(np.asarray(out.addressable_shards[0].data).ravel()[0])
+    expect = n_global * (n_global - 1) / 2
+    assert total == expect, (total, expect)
+    print(f"PSUM_OK {pid} {total}", flush=True)
+
+    # --- one sharded expansion round over the 2-process mesh ---
+    from lqrrt_tpu.core.rounds import RoundSpec
+    from lqrrt_tpu.core.tree import init_tree
+    from lqrrt_tpu.models import double_integrator as di
+    from lqrrt_tpu.parallel.sharded import make_sharded_round
+
+    prob = di.default_problem()
+    spec = RoundSpec(nstates=4, ncontrols=2, batch=8 * n_global,
+                     horizon_steps=10, capacity=256, dt=0.05, nn_block=128)
+    S0, K0 = prob["lqr"](None, None)
+    tree = init_tree(spec.capacity, spec.horizon_steps, 4, 2,
+                     jnp.asarray(prob["x0"]), S0, K0, 1e9, False)
+    rep = NamedSharding(mesh, P())
+    tree = jax.tree.map(
+        lambda x: jax.make_array_from_callback(
+            x.shape, rep, lambda idx: np.asarray(x)[idx]), tree)
+    rf = jax.jit(make_sharded_round(
+        spec, mesh, prob["dynamics"], prob["lqr"], prob["erf"],
+        prob["constraints"].is_feasible, 0.05,
+        prob["constraints"].goal_buffer, saturate=prob["saturate"],
+        axis=("host", "dp")))
+    args = [jax.device_put(a, rep) for a in (
+        jnp.asarray(prob["goal"]), jnp.asarray(prob["sample_space"]),
+        jnp.full((4,), 0.2), jnp.asarray(prob["goal"]))]
+    out_tree = rf(tree, jax.device_put(jax.random.PRNGKey(0), rep), *args)
+    size = int(np.asarray(
+        out_tree.size.addressable_shards[0].data).ravel()[0])
+    assert size > 1, size
+    print(f"ROUND_OK {pid} {size}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

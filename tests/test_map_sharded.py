@@ -113,3 +113,56 @@ def test_map_sharded_multi_round_plans_through_gap():
     states = np.asarray(t.state[:sz])
     occ_v = np.asarray(full.occupied(jnp.asarray(states[:, :2])))
     assert not occ_v.any()
+
+
+def test_dp_map_composed_round_matches_single_device():
+    """P1 x P3 composition (round-1 review, missing item 3): candidates
+    sharded over 'dp' AND grid rows over 'map' on a 2x4 mesh must commit
+    exactly what the single-device round commits with the full grid inside
+    steering and the emulated per-dp-row sample folds."""
+    from lqrrt_tpu.core.sampling import sample_batch
+    from lqrrt_tpu.parallel.map_sharded import make_dp_map_round
+
+    n_dp, n_map = 2, 4
+    prob, spec, occ, origin, res, tree, goal, ss = _setup(batch=32)
+    gb = jnp.full((4,), 0.2)
+    key = jax.random.PRNGKey(11)
+
+    # single-device reference with the emulated dp-sharded sample batch
+    def emulate(k, B):
+        xs = []
+        for d in range(n_dp):
+            xs.append(sample_batch(jax.random.fold_in(k, d), B // n_dp,
+                                   ss, gb, goal))
+        return jnp.concatenate(xs, 0)
+
+    full_grid = collision.OccupancyGrid(occ, origin, res)
+    ref_round = jax.jit(make_round(
+        spec, prob["dynamics"], prob["lqr"], prob["erf"],
+        full_grid.is_feasible, 0.05, prob["constraints"].goal_buffer,
+        xrand_gen=emulate))
+    ref = ref_round(tree, key, goal, ss, gb, goal)
+
+    mesh = meshlib.make_mesh_2d(n_dp, n_map, axes=("dp", "map"))
+    sgrid = ShardedGrid(occ, origin, res, n_shards=n_map)
+    rf = jax.jit(make_dp_map_round(
+        spec, mesh, sgrid, prob["dynamics"], prob["lqr"], prob["erf"],
+        lambda x, u: jnp.bool_(True), 0.05,
+        prob["constraints"].goal_buffer))
+    out = rf(tree, jnp.asarray(sgrid.occ_sharded), key, goal, ss, gb, goal)
+
+    assert int(out.size) == int(ref.size) > 1
+    sz = int(ref.size)
+    np.testing.assert_array_equal(np.asarray(out.parent[:sz]),
+                                  np.asarray(ref.parent[:sz]))
+    np.testing.assert_array_equal(np.asarray(out.edge_len[:sz]),
+                                  np.asarray(ref.edge_len[:sz]))
+    np.testing.assert_allclose(np.asarray(out.state[:sz]),
+                               np.asarray(ref.state[:sz]), atol=1e-5)
+    # committed rollout prefixes match step-for-step
+    lens = np.asarray(ref.edge_len[:sz])
+    ex_ref = np.asarray(ref.edge_x[:sz])
+    ex_out = np.asarray(out.edge_x[:sz])
+    for i in range(1, sz):
+        np.testing.assert_allclose(ex_out[i][:int(lens[i])],
+                                   ex_ref[i][:int(lens[i])], atol=1e-5)

@@ -296,7 +296,10 @@ def test_dynamic_obstacles_zero_recompile():
                                   goal_bias=0.2, pruning=True,
                                   specific_time=2.0)
     assert reached
-    n_compiled = len(planner._chunk_cache)
+    # refine chunks may lazily compile whenever the tree hits capacity; only
+    # a new GROW variant would indicate a feasibility retrace
+    n_compiled = sum(1 for k in planner._chunk_cache if k[3] == "grow")
+    assert n_compiled == 1
 
     def min_clearance(p, c, r):
         d = np.linalg.norm(np.asarray(p.x_seq)[:, :2] - c, axis=1) - r
@@ -312,7 +315,8 @@ def test_dynamic_obstacles_zero_recompile():
                                   goal_bias=0.2, pruning=True,
                                   specific_time=2.0)
     assert reached
-    assert len(planner._chunk_cache) == n_compiled  # zero new chunk variants
+    assert sum(1 for k in planner._chunk_cache
+               if k[3] == "grow") == n_compiled  # zero new grow variants
     assert min_clearance(planner, data1["centers"][0], 0.7) > 0.0
     # and the new plan respects the NEW field, which the old one need not
     assert planner.plan_reached_goal

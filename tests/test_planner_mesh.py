@@ -180,14 +180,43 @@ def test_mesh_planner_dynamic_obstacle_data(prob):
         dt=base["dt"], goal0=base["goal"], printing=False, batch_size=64,
         capacity=512, nn_block=128, saturate=base["saturate"], seed=2,
         mesh=mesh)
+    def n_grow():
+        # refine chunks may lazily compile whenever the tree hits capacity;
+        # only a new GROW variant would indicate a feasibility retrace
+        return sum(1 for k in planner._chunk_cache if k[3] == "grow")
+
     assert planner.update_plan(base["x0"], base["sample_space"],
                                goal_bias=0.2, specific_time=2.0)
-    n = len(planner._chunk_cache)
+    assert n_grow() == 1
     cons.set_feasibility_data({"centers": np.array([[1.2, 0.2]], np.float32),
                                "radii": np.array([0.6], np.float32)})
     assert planner.update_plan(base["x0"], base["sample_space"],
                                goal_bias=0.2, specific_time=2.0)
-    assert len(planner._chunk_cache) == n
+    assert n_grow() == 1
     d = np.linalg.norm(np.asarray(planner.x_seq)[:, :2]
                        - np.array([1.2, 0.2]), axis=1) - 0.6
     assert d.min() > 0.0
+
+
+def test_mesh_planner_2d_hosts_chips(prob):
+    """2-D (hosts x chips) mesh (P5): candidates shard over BOTH axes via
+    the axis-name tuple; result is bit-identical to the 1-D 8-device mesh
+    (the flat axis_index makes the per-device key folds line up)."""
+    mesh2d = meshlib.make_mesh_2d(2, 4)
+    p2 = _mk_planner(prob, mesh=mesh2d, seed=11, batch=64,
+                     rounds_per_chunk=2, mesh_axis=("host", "dp"))
+    p2.sys_time = _fixed_chunk_clock(2)
+    p1 = _mk_planner(prob, mesh=meshlib.make_mesh(N_DEV), seed=11, batch=64,
+                     rounds_per_chunk=2)
+    p1.sys_time = _fixed_chunk_clock(2)
+    r2 = p2.update_plan(prob["x0"], prob["sample_space"], goal_bias=0.15,
+                        pruning=False, specific_time=0.5)
+    r1 = p1.update_plan(prob["x0"], prob["sample_space"], goal_bias=0.15,
+                        pruning=False, specific_time=0.5)
+    assert r2 == r1
+    t2, t1 = p2._device_tree, p1._device_tree
+    assert int(t2.size) == int(t1.size) > 1
+    np.testing.assert_allclose(np.asarray(t2.state), np.asarray(t1.state),
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(t2.parent),
+                                  np.asarray(t1.parent))
