@@ -75,6 +75,15 @@ def load(planner, path: str):
             from ..core.tree import TreeArrays
             kwargs = {k[len("tree_"):]: jnp.asarray(z[k])
                       for k in tree_fields}
+            if "n_children" not in kwargs:
+                # format-2 checkpoints written before child counting existed:
+                # reconstruct counts from the parent array (exact)
+                parent = np.asarray(kwargs["parent"])
+                size = int(np.asarray(kwargs["size"]))
+                counts = np.zeros(parent.shape[0], np.int32)
+                live = parent[:size]
+                np.add.at(counts, live[live >= 0], 1)
+                kwargs["n_children"] = jnp.asarray(counts)
             planner._device_tree = TreeArrays(**kwargs)
             planner.tree = None
     return planner

@@ -152,3 +152,57 @@ def test_atomic_plan_swap_under_concurrent_reads():
         stop.set()
         th.join()
     assert not errors, errors[:5]
+
+
+def test_checkpoint_loads_pre_n_children_trees(tmp_path):
+    """Format-2 checkpoints written before child counting existed load with
+    n_children reconstructed exactly from the parent array."""
+    import jax.numpy as jnp
+    from lqrrt_tpu.utils import checkpoint
+
+    prob = di.default_problem()
+    p = lqrrt_tpu.Planner(
+        prob["dynamics"], prob["lqr"], prob["constraints"],
+        horizon=prob["horizon"], dt=prob["dt"], goal0=prob["goal"],
+        printing=False, batch_size=32, capacity=256, nn_block=128,
+        saturate=prob["saturate"], seed=4)
+    p.update_plan(prob["x0"], prob["sample_space"], goal_bias=0.2,
+                  pruning=False, specific_time=0.2)
+    path = str(tmp_path / "ck.npz")
+    checkpoint.save(p, path, include_tree=True)
+
+    # strip the n_children field to emulate an old checkpoint
+    with np.load(path) as z:
+        data = {k: z[k] for k in z.files if k != "tree_n_children"}
+    np.savez_compressed(path, **data)
+
+    q = lqrrt_tpu.Planner(
+        prob["dynamics"], prob["lqr"], prob["constraints"],
+        horizon=prob["horizon"], dt=prob["dt"], goal0=prob["goal"],
+        printing=False, batch_size=32, capacity=256, nn_block=128,
+        saturate=prob["saturate"], seed=4)
+    checkpoint.load(q, path)
+    told, tnew = p._device_tree, q._device_tree
+    sz = int(told.size)
+    np.testing.assert_array_equal(np.asarray(told.n_children)[:sz],
+                                  np.asarray(tnew.n_children)[:sz])
+    np.testing.assert_allclose(np.asarray(told.state)[:sz],
+                               np.asarray(tnew.state)[:sz])
+
+
+def test_animate_planner_writes_gif(tmp_path):
+    """C12 animation parity: tree-growth replay + vehicle trace saved as GIF."""
+    from lqrrt_tpu.viz import animate_planner
+
+    prob = di.default_problem()
+    p = lqrrt_tpu.Planner(
+        prob["dynamics"], prob["lqr"], prob["constraints"],
+        horizon=prob["horizon"], dt=prob["dt"], goal0=prob["goal"],
+        printing=False, batch_size=32, capacity=128, nn_block=128,
+        saturate=prob["saturate"], seed=4)
+    p.update_plan(prob["x0"], prob["sample_space"], goal_bias=0.2,
+                  pruning=False, specific_time=0.2)
+    out = str(tmp_path / "anim.gif")
+    animate_planner(p, path=out, growth_frames=4, fps=5, dpi=40)
+    import os as _os
+    assert _os.path.getsize(out) > 1000
