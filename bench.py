@@ -10,6 +10,15 @@ faithful sequential re-implementation of the reference algorithm — measured
 on one CPU core in this same run.  vs_baseline = TPU expansions/s / oracle
 expansions/s (north star: >= 100x).
 
+Extra fields in the same JSON line:
+  pallas_equiv_*        on-device Pallas-vs-jnp NN kernel equivalence at
+                        bench shapes (SURVEY.md section 4 item 1)
+  plan_duration_s_*     boat plan quality at 0.3 s vs 1.0 s anytime budgets
+                        (leaf-replacement refinement must buy quality)
+  quality_*             oracle-vs-TPU plan-quality ratios for boat, car and
+                        quadrotor at fixed seeds (golden parity, SURVEY.md
+                        section 4 item 2)
+
 Extra diagnostics (p50 replan latency, goal rate) go to stderr.
 """
 import json
@@ -29,7 +38,6 @@ def log(*a):
 def bench_oracle(prob, budget_s=3.0):
     from lqrrt_tpu.oracle import numpy_planner as oracle
     import scipy.linalg  # noqa: F401  (oracle lqr built from jax model below)
-    from lqrrt_tpu.models import boat as jboat
     import jax
 
     dyn_np, sat_np = oracle.boat_dynamics_factory()
@@ -85,7 +93,183 @@ def bench_tpu(prob, budget_s=1.0, batch=8192, capacity=32768, repeats=3):
         glats.append(time.time() - t0)
     log(f"tpu p50 replan latency (goal-biased, [0.5,1]s budget): "
         f"{np.median(glats):.3f}s")
-    return float(np.median(eps)), float(np.median(glats))
+
+    # plan quality vs anytime budget (fixed seed): once the tree saturates
+    # capacity the leaf-replacement refinement must keep buying quality, so
+    # the 1.0 s plan should be no longer than the 0.3 s plan (VERDICT round 1
+    # item 2; SURVEY.md C2 anytime refinement)
+    durs = {}
+    for budget in (0.2, 1.0):
+        planner._key = __import__("jax").random.PRNGKey(777)
+        planner.update_plan(prob["x0"], prob["sample_space"],
+                            goal_bias=[0.3, 0.3, 0, 0, 0, 0],
+                            specific_time=budget, pruning=True)
+        durs[budget] = float(planner.T)
+        log(f"  plan quality: budget {budget}s -> duration {planner.T:.2f}s "
+            f"(refine_rounds={planner.stats['refine_rounds']})")
+    return float(np.median(eps)), float(np.median(glats)), durs
+
+
+def bench_pallas_equiv(n=6, wrap_dim=2, N=32768, B=8192, block=1024, seed=3):
+    """On-device equivalence of the Pallas NN kernels vs the jnp path at
+    bench shapes (SURVEY.md section 4 item 1; VERDICT round 1 item 5/6:
+    the MXU HIGHEST path + cancellation centering had only been checked in
+    interpret mode on CPU).
+
+    Ties and fp noise can legitimately flip an argmin, so equivalence is
+    adjudicated on COST: both paths' chosen nodes are re-scored in fp64
+    numpy; pass = every Pallas choice within rtol of the jnp choice.
+    """
+    import jax
+    import jax.numpy as jnp
+    from lqrrt_tpu.core.nearest import make_nearest
+    from lqrrt_tpu.ops.angles import make_erf
+    from lqrrt_tpu.ops.pallas.nn_kernel import (make_nearest_const_pallas,
+                                                make_nearest_pallas)
+
+    interp = jax.devices()[0].platform != "tpu"
+    erf = make_erf(n, angle_dims=(wrap_dim,))
+    ref = jax.jit(make_nearest(erf, block=block))
+    ks = jax.random.split(jax.random.PRNGKey(seed), 4)
+    scale = jnp.asarray([40.0, 40.0, np.pi, 3.0, 3.0, 1.0][:n])
+    states = jax.random.uniform(ks[0], (N, n), minval=-1, maxval=1) * scale
+    xrand = jax.random.uniform(ks[1], (B, n), minval=-1, maxval=1) * scale
+    A = jax.random.normal(ks[2], (N, n, n)) * 0.3
+    S_var = A @ jnp.swapaxes(A, 1, 2) + 2.0 * jnp.eye(n)
+    S_const = jnp.broadcast_to(S_var[0], (N, n, n))
+    size = jnp.asarray(N - 173, jnp.int32)  # uneven live prefix
+
+    st64 = np.asarray(states, np.float64)
+    xr64 = np.asarray(xrand, np.float64)
+
+    def cost64(S64, ids):
+        e = xr64 - st64[ids]
+        e[:, wrap_dim] = np.mod(e[:, wrap_dim] + np.pi, 2 * np.pi) - np.pi
+        return np.einsum("bi,bij,bj->b", e, S64[ids], e)
+
+    out = {}
+    cases = [
+        ("pallas", make_nearest_pallas(block=block, wrap_dim=wrap_dim,
+                                       interpret=interp), S_var),
+        ("pallas_const", make_nearest_const_pallas(block=block,
+                                                   wrap_dim=wrap_dim,
+                                                   interpret=interp), S_const),
+    ]
+    for name, fn, S in cases:
+        S64 = np.asarray(S, np.float64)
+        ids_r, _ = jax.device_get(ref(states, S, size, xrand))
+        ids_p, _ = jax.device_get(jax.jit(fn)(states, S, size, xrand))
+        c_r, c_p = cost64(S64, ids_r), cost64(S64, ids_p)
+        id_match = float(np.mean(ids_r == ids_p))
+        # Pallas choice must not be worse than the jnp choice beyond fp slop
+        rel_excess = (c_p - c_r) / np.maximum(np.abs(c_r), 1e-6)
+        worst = float(np.max(rel_excess))
+        ok = bool(worst <= 5e-3)
+        out[f"pallas_equiv_{name}_ok"] = ok
+        out[f"pallas_equiv_{name}_id_match"] = round(id_match, 4)
+        log(f"pallas equiv [{name}]: id_match={id_match:.4f}, "
+            f"worst_rel_cost_excess={worst:.2e}, ok={ok}")
+    return out
+
+
+def _oracle_problem(name):
+    """(oracle planner, jax problem dict, per-dim goal bias) for a model."""
+    from lqrrt_tpu.oracle import numpy_planner as oracle
+
+    if name == "boat":
+        from lqrrt_tpu.models import boat as model
+        import jax
+        prob = model.default_problem()
+        dyn_np, sat_np = oracle.boat_dynamics_factory()
+        S, K = prob["lqr"](None, None)
+        S = np.asarray(jax.device_get(S), np.float64)
+        K = np.asarray(jax.device_get(K), np.float64)
+        lqr_np = lambda x, u: (S, K)  # noqa: E731
+        erf_np = oracle.boat_erf
+        margin = 1.0
+        bias = [0.3, 0.3, 0, 0, 0, 0]
+    elif name == "car":
+        from lqrrt_tpu.models import car as model
+        prob = model.default_problem()
+        dyn_np, sat_np, f_np = oracle.car_dynamics_factory()
+
+        def x_map(x):
+            v = x[3]
+            x = x.copy()
+            x[3] = (-0.8 if v < 0 else 0.8) if abs(v) < 0.8 else v
+            return x
+
+        lqr_np = oracle.make_scipy_relinearized_lqr(
+            f_np, np.diag([1.0, 1.0, 0.5, 0.3]), np.diag([0.5, 2.0]),
+            u_eq=np.zeros(2), x_map=x_map)
+        erf_np = oracle.make_erf_np(angle_dims=(2,))
+        margin = 0.5
+        bias = [0.3, 0.3, 0, 0]
+    elif name == "quadrotor":
+        from lqrrt_tpu.models import quadrotor as model
+        prob = model.default_problem()
+        dyn_np, sat_np, f_np = oracle.quadrotor_dynamics_factory()
+        lqr_np = oracle.make_scipy_relinearized_lqr(
+            f_np,
+            np.diag([1.0, 1.0, 1.0, 2.0, 2.0, 1.0, 0.3, 0.3, 0.3,
+                     0.1, 0.1, 0.1]),
+            np.diag([0.02, 2.0, 2.0, 2.0]), u_eq=np.zeros(4))
+        erf_np = oracle.make_erf_np(angle_dims=(5,))
+        margin = 0.3
+        bias = [0.3, 0.3, 0.3] + [0.0] * 9
+    else:
+        raise ValueError(name)
+    feas = oracle.make_circle_feasibility(*prob["obstacles"], margin=margin)
+    orc = oracle.NumpyOracle(
+        dynamics=dyn_np, lqr=lqr_np, erf=erf_np, is_feasible=feas,
+        goal_buffer=prob["constraints"].goal_buffer,
+        horizon=prob["horizon"], dt=prob["dt"], saturate=sat_np)
+    return orc, prob, np.asarray(bias, np.float64)
+
+
+def bench_quality(names=("boat", "car", "quadrotor"), tpu_budget=1.0):
+    """Oracle-vs-TPU plan quality at fixed seeds (golden parity, SURVEY.md
+    section 4 item 2; VERDICT round 1 item 8).  Ratio = TPU plan duration /
+    oracle plan duration; both planners get the same problem, same per-dim
+    goal bias, disjoint solver stacks end to end."""
+    import lqrrt_tpu
+
+    # Oracle budgets: the sequential reference needs far longer than the TPU
+    # planner to reach the goal at all; the nonholonomic car and the 12-state
+    # quadrotor get 20 s of CPU (still typically only ~1-2k nodes).
+    oracle_budget = {"boat": 6.0, "car": 20.0, "quadrotor": 20.0}
+    out = {}
+    for name in names:
+        orc, prob, bias = _oracle_problem(name)
+        ob = oracle_budget.get(name, 6.0)
+        reached_o, stats_o, _ = orc.plan(
+            prob["x0"], prob["goal"], prob["sample_space"], goal_bias=bias,
+            seed=7, min_time=ob, max_time=ob)  # full-budget anytime, like TPU
+        planner = lqrrt_tpu.Planner(
+            prob["dynamics"], prob["lqr"], prob["constraints"],
+            horizon=prob["horizon"], dt=prob["dt"], goal0=prob["goal"],
+            printing=False, batch_size=1024, capacity=4096,
+            wrap_dims=prob["wrap_dims"], saturate=prob["saturate"], seed=7)
+        planner.update_plan(prob["x0"], prob["sample_space"],
+                            goal_bias=list(bias), specific_time=0.05,
+                            pruning=False)  # warm compile, untimed
+        planner._key = __import__("jax").random.PRNGKey(7)
+        # pruning off: the oracle extracts its raw best branch, so the fair
+        # duration comparison is the unsmoothed TPU branch
+        reached_t = planner.update_plan(
+            prob["x0"], prob["sample_space"], goal_bias=list(bias),
+            specific_time=tpu_budget, pruning=False)
+        dur_o = float(stats_o["plan_duration_s"])
+        dur_t = float(planner.T)
+        ratio = (round(dur_t / dur_o, 3) if reached_o and reached_t
+                 and dur_o > 0 else None)
+        out[f"quality_{name}_goal_oracle"] = bool(reached_o)
+        out[f"quality_{name}_goal_tpu"] = bool(reached_t)
+        out[f"quality_{name}_duration_ratio"] = ratio
+        log(f"quality [{name}]: oracle {dur_o:.2f}s (goal={reached_o}, "
+            f"{stats_o['nodes']} nodes in {ob}s) vs tpu "
+            f"{dur_t:.2f}s (goal={reached_t}) -> ratio={ratio}")
+    return out
 
 
 def main():
@@ -100,8 +284,24 @@ def main():
     prob = boat.default_problem()
     log(f"problem setup: {time.time()-t0:.1f}s")
 
+    extra = {}
+    # NN-kernel equivalence gate BEFORE timing (VERDICT round 1 item 6)
+    try:
+        extra.update(bench_pallas_equiv())
+    except Exception as e:  # never lose the headline metric to a gate bug
+        log(f"pallas equiv check failed to run: {e!r}")
+        extra["pallas_equiv_error"] = repr(e)
+
     oracle_eps = bench_oracle(prob)
-    tpu_eps, p50 = bench_tpu(prob)
+    tpu_eps, p50, durs = bench_tpu(prob)
+    extra["plan_duration_s_budget_0p2"] = round(durs[0.2], 3)
+    extra["plan_duration_s_budget_1p0"] = round(durs[1.0], 3)
+
+    try:
+        extra.update(bench_quality())
+    except Exception as e:
+        log(f"quality parity failed to run: {e!r}")
+        extra["quality_error"] = repr(e)
 
     print(json.dumps({
         "metric": "boat_tree_expansions_per_s_per_chip",
@@ -111,6 +311,7 @@ def main():
         "baseline_cpu_expansions_per_s": round(oracle_eps, 1),
         "p50_replan_latency_s": round(p50, 3),
         "device": str(dev),
+        **extra,
     }))
 
 

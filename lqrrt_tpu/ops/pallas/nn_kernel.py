@@ -377,14 +377,31 @@ def nearest_const_pallas(states, S, size, xrand, *, block: int = 1024,
         fitting = [b for b in cands if b <= cap]
         return max(fitting) if fitting else min(cands)
 
-    Bt = pick(B, 8, 1024)
     blk = pick(N, 128, block)
+    # Scoped-VMEM budget: the kernel body materializes several (Bt, blk)
+    # f32/i32 temporaries (cost accumulator, wrap correction, node-index
+    # iota, masked select); at Bt = blk = 1024 those stack past the 16 MiB
+    # scoped-vmem limit on real-TPU compiles (observed: 17.83 MiB requested;
+    # interpret mode on CPU never enforces the limit, so only hardware runs
+    # catch it — bench.py's pallas_equiv gate).  Capping Bt*blk <= 512*1024
+    # keeps the stack comfortably under budget at no measurable throughput
+    # cost: the w tile stays resident per candidate tile and only the tiny
+    # zT stream (R x N, ~1 MiB) is re-read once more per extra tile.
+    Bt = pick(B, 8, min(1024, max(512 * 1024 // blk, 8)))
     assert N % blk == 0 and B % Bt == 0, (N, blk, B, Bt)
     nblocks = N // blk
     nb_B = B // Bt
 
-    z = states @ L                                     # (N, n) whitened
-    w = xrand @ L                                      # (B, n)
+    # HIGHEST precision on every prep matmul: the TPU default single-pass
+    # bf16 MXU path loses ~8 mantissa bits of the whitened coordinates, and
+    # at boat-scale magnitudes (|x| ~ 40 m) that is an absolute coordinate
+    # error of ~0.16 — enough to flip ~5% of argmins to nodes up to ~40%
+    # costlier (measured on v5e by bench.py's pallas_equiv gate; interpret
+    # mode on CPU computes f32 matmuls and never sees it).  The prep work is
+    # O(N n^2), negligible next to the O(B N n) kernel.
+    PHI = jax.lax.Precision.HIGHEST
+    z = jnp.dot(states, L, precision=PHI)              # (N, n) whitened
+    w = jnp.dot(xrand, L, precision=PHI)               # (B, n)
     rows = n + (2 if wrapped else 0)
     R = -(-rows // 8) * 8                              # sublane-pad
     C = 128                                            # lane-pad
@@ -393,9 +410,9 @@ def nearest_const_pallas(states, S, size, xrand, *, block: int = 1024,
     if wrapped:
         Sa = S[wrap_dim, :]
         zT = zT.at[n, :].set(states[:, wrap_dim])
-        zT = zT.at[n + 1, :].set(states @ Sa)
+        zT = zT.at[n + 1, :].set(jnp.dot(states, Sa, precision=PHI))
         wp = wp.at[:, n].set(xrand[:, wrap_dim])
-        wp = wp.at[:, n + 1].set(xrand @ Sa)
+        wp = wp.at[:, n + 1].set(jnp.dot(xrand, Sa, precision=PHI))
         saa = S[wrap_dim, wrap_dim].reshape(1)
     else:
         saa = jnp.zeros((1,), jnp.float32)

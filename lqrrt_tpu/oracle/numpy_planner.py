@@ -186,6 +186,120 @@ def boat_erf(xgoal, x):
     return e
 
 
+def make_erf_np(angle_dims=()):
+    """Numpy erf: subtract + wrap the given angle dims into [-pi, pi)."""
+    dims = tuple(angle_dims)
+
+    def erf(xgoal, x):
+        e = xgoal - x
+        for d in dims:
+            e[d] = np.mod(e[d] + np.pi, 2 * np.pi) - np.pi
+        return e
+
+    return erf
+
+
+def car_dynamics_factory():
+    """Kinematic bicycle, rk4 (independent mirror of models/car constants —
+    doubles as a cross-check of the jax dynamics, like boat_dynamics_factory)."""
+    WHEELBASE, DELTA_MAX, A_MAX = 2.5, 0.55, 3.0
+    U_MIN = np.array([-A_MAX, -DELTA_MAX])
+    U_MAX = np.array([A_MAX, DELTA_MAX])
+
+    def f(x, u):
+        a = np.clip(u[0], -A_MAX, A_MAX)
+        d = np.clip(u[1], -DELTA_MAX, DELTA_MAX)
+        return np.array([x[3] * np.cos(x[2]), x[3] * np.sin(x[2]),
+                         x[3] * np.tan(d) / WHEELBASE, a])
+
+    def dynamics(x, u, dt):
+        k1 = f(x, u); k2 = f(x + 0.5 * dt * k1, u)
+        k3 = f(x + 0.5 * dt * k2, u); k4 = f(x + dt * k3, u)
+        return x + (dt / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+
+    def saturate(u):
+        return np.clip(u, U_MIN, U_MAX)
+
+    return dynamics, saturate, f
+
+
+def quadrotor_dynamics_factory():
+    """12-state quadrotor, rk4 (independent mirror of models/quadrotor)."""
+    MASS, G = 1.0, 9.81
+    INERTIA = np.array([0.01, 0.01, 0.02])
+    T_MAX, TAU_MAX = 25.0, 0.5
+    HOVER_T = MASS * G
+    U_MIN = np.array([-HOVER_T, -TAU_MAX, -TAU_MAX, -TAU_MAX])
+    U_MAX = np.array([T_MAX - HOVER_T, TAU_MAX, TAU_MAX, TAU_MAX])
+
+    def f(x, u):
+        rpy, v, w = x[3:6], x[6:9], x[9:12]
+        T = np.clip(u[0] + HOVER_T, 0.0, T_MAX)
+        tau = np.clip(u[1:], -TAU_MAX, TAU_MAX)
+        r, p, y = rpy
+        cr, sr = np.cos(r), np.sin(r)
+        cp_raw, sp = np.cos(p), np.sin(p)
+        cy, sy = np.cos(y), np.sin(y)
+        R = np.array([
+            [cy * cp_raw, cy * sp * sr - sy * cr, cy * sp * cr + sy * sr],
+            [sy * cp_raw, sy * sp * sr + cy * cr, sy * sp * cr - cy * sr],
+            [-sp, cp_raw * sr, cp_raw * cr]])
+        cp = max(cp_raw, 0.2)  # gimbal-lock guard (mirrors models/quadrotor)
+        tp = sp / cp
+        E = np.array([[1.0, sr * tp, cr * tp],
+                      [0.0, cr, -sr],
+                      [0.0, sr / cp, cr / cp]])
+        acc = R @ np.array([0.0, 0.0, T]) / MASS - np.array([0.0, 0.0, G])
+        w_dot = (tau - np.cross(w, INERTIA * w)) / INERTIA
+        return np.concatenate([v, E @ w, acc, w_dot])
+
+    def dynamics(x, u, dt):
+        k1 = f(x, u); k2 = f(x + 0.5 * dt * k1, u)
+        k3 = f(x + 0.5 * dt * k2, u); k4 = f(x + dt * k3, u)
+        return x + (dt / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+
+    def saturate(u):
+        return np.clip(u, U_MIN, U_MAX)
+
+    return dynamics, saturate, f
+
+
+def make_scipy_relinearized_lqr(f, Q, R, u_eq, x_map=None, eps=1e-5):
+    """Reference-style re-linearized LQR: finite-difference Jacobians of the
+    numpy dynamics + scipy.linalg.solve_continuous_are, K = R^-1 B' S.
+
+    Mirrors the reference demos' pattern (the *user* solves CARE via scipy,
+    SURVEY.md section 0) and is fully independent of the jax Riccati path —
+    so oracle-vs-TPU plan-quality comparisons exercise two disjoint solver
+    stacks end to end.
+    """
+    import scipy.linalg
+
+    Q = np.asarray(Q, np.float64)
+    R = np.asarray(R, np.float64)
+    u_eq = np.asarray(u_eq, np.float64)
+    m = u_eq.shape[0]
+
+    def lqr(x, u):
+        del u
+        xl = np.array(x, np.float64)
+        if x_map is not None:
+            xl = x_map(xl)
+        n = xl.shape[0]
+        A = np.zeros((n, n)); B = np.zeros((n, m))
+        for i in range(n):
+            dx = np.zeros(n); dx[i] = eps
+            A[:, i] = (f(xl + dx, u_eq) - f(xl - dx, u_eq)) / (2 * eps)
+        for j in range(m):
+            du = np.zeros(m); du[j] = eps
+            B[:, j] = (f(xl, u_eq + du) - f(xl, u_eq - du)) / (2 * eps)
+        S = scipy.linalg.solve_continuous_are(A, B, Q, R)
+        K = np.linalg.solve(R, B.T @ S)
+        return S, K
+
+    return lqr
+
+
 def make_circle_feasibility(centers, radii, margin=0.0):
     centers = np.asarray(centers, np.float64)
     radii = np.asarray(radii, np.float64)

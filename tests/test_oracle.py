@@ -24,6 +24,59 @@ def test_numpy_boat_dynamics_matches_jax():
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
 
 
+def test_numpy_car_dynamics_matches_jax():
+    from lqrrt_tpu.models import car
+    dyn_np, _, _ = oracle.car_dynamics_factory()
+    rng = np.random.default_rng(1)
+    for _ in range(20):
+        x = rng.uniform(-2, 2, 4)
+        u = rng.uniform(-3, 3, 2)
+        a = dyn_np(x, u, 0.05)
+        b = np.asarray(car.dynamics(jnp.asarray(x, jnp.float32),
+                                    jnp.asarray(u, jnp.float32), 0.05))
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
+
+
+def test_numpy_quadrotor_dynamics_matches_jax():
+    from lqrrt_tpu.models import quadrotor as quad
+    dyn_np, _, _ = oracle.quadrotor_dynamics_factory()
+    rng = np.random.default_rng(2)
+    for _ in range(20):
+        x = rng.uniform(-0.5, 0.5, 12)
+        u = rng.uniform(-0.4, 0.4, 4)
+        a = dyn_np(x, u, 0.05)
+        b = np.asarray(quad.dynamics(jnp.asarray(x, jnp.float32),
+                                     jnp.asarray(u, jnp.float32), 0.05))
+        np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-4)
+
+
+def test_scipy_relinearized_lqr_matches_jax_car():
+    """The oracle's scipy CARE stack must agree with the jax batched-Riccati
+    stack at sample linearization points (disjoint solver paths, same math)."""
+    from lqrrt_tpu.models import car
+    _, _, f_np = oracle.car_dynamics_factory()
+    Q = np.diag([1.0, 1.0, 0.5, 0.3]); R = np.diag([0.5, 2.0])
+
+    def x_map(x):
+        v = x[3]
+        x = x.copy()
+        x[3] = np.where(abs(v) < 0.8, -0.8 if v < 0 else 0.8, v)
+        return x
+
+    lqr_np = oracle.make_scipy_relinearized_lqr(
+        f_np, Q, R, u_eq=np.zeros(2), x_map=x_map)
+    lqr_jx = car.make_lqr()
+    rng = np.random.default_rng(3)
+    for _ in range(5):
+        x = rng.uniform(-2, 2, 4)
+        S_np, K_np = lqr_np(x, None)
+        S_jx, K_jx = lqr_jx(jnp.asarray(x, jnp.float32), None)
+        np.testing.assert_allclose(S_np, np.asarray(S_jx), rtol=2e-2,
+                                   atol=2e-2)
+        np.testing.assert_allclose(K_np, np.asarray(K_jx), rtol=2e-2,
+                                   atol=2e-2)
+
+
 def _di_oracle():
     A = np.zeros((4, 4)); A[0, 2] = A[1, 3] = 1.0
     B = np.zeros((4, 2)); B[2, 0] = B[3, 1] = 1.0
