@@ -83,6 +83,8 @@ def make_expand(spec: RoundSpec, dynamics: Callable, lqr: Callable,
     erf_goal = jax.vmap(erf, in_axes=(None, 0))
     goal_buffer = jnp.asarray(goal_buffer, jnp.float32)
 
+    erf_steps = jax.vmap(erf_goal, in_axes=(None, 0))  # goal,(B,H,n)->(B,H,n)
+
     def expand(tree: TreeArrays, xrand, goal) -> Candidates:
         # --- nearest neighbor under the LQR metric (C4) ---
         pids, _ = nearest(tree.state, tree.S, tree.size, xrand)
@@ -92,13 +94,32 @@ def make_expand(spec: RoundSpec, dynamics: Callable, lqr: Callable,
         # --- steer rollouts (C5) ---
         res = steer(x0, K0, xrand)
 
+        # --- first-entry goal truncation (C6 refinement) ---
+        # The reference tests only the rollout ENDPOINT, so goal-reaching
+        # edges keep the full horizon and plan durations quantize at horizon
+        # multiples (a 5 s boat horizon makes every goal plan a multiple of
+        # ~5 s, hiding anytime refinement).  Cutting the edge at its FIRST
+        # in-goal step strictly dominates: the prefix was already feasibility
+        # -checked by the steer, the node still satisfies the goal box, and
+        # time-to-goal gains dt-resolution so refinement rounds measurably
+        # shorten plans.
+        steps = jnp.arange(res.x_seq.shape[1])[None, :]
+        hit = jnp.all(jnp.abs(erf_steps(goal, res.x_seq)) <= goal_buffer,
+                      axis=-1) & (steps < res.length[:, None])
+        any_hit = jnp.any(hit, axis=-1)
+        first = jnp.argmax(hit, axis=-1).astype(res.length.dtype)
+        length = jnp.where(any_hit, first + 1, res.length)
+        x_first = jnp.take_along_axis(
+            res.x_seq, first[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+        xnew = jnp.where(any_hit[:, None], x_first, res.xnew)
+        in_goal = any_hit
+
         # --- per-candidate LQR at the new endpoint (batched Riccati) ---
         u_last = jnp.take_along_axis(
-            res.u_seq, jnp.maximum(res.length - 1, 0)[:, None, None], axis=1
+            res.u_seq, jnp.maximum(length - 1, 0)[:, None, None], axis=1
         )[:, 0, :]
-        S_new, K_new = lqr_batch(res.xnew, u_last)
+        S_new, K_new = lqr_batch(xnew, u_last)
 
-        xnew = res.xnew
         x_seq = res.x_seq
         if wrap_mask is not None:
             # Wrap angle dims in BOTH the endpoint and the stored edge states,
@@ -109,12 +130,11 @@ def make_expand(spec: RoundSpec, dynamics: Callable, lqr: Callable,
             xnew = jnp.where(wrap_mask, wrap_angle(xnew), xnew)
             x_seq = jnp.where(wrap_mask, wrap_angle(x_seq), x_seq)
 
-        # --- goal test (C6) + cost-to-go heuristic (C7 fallback metric) ---
+        # --- cost-to-go heuristic (C7 fallback metric) ---
         e_goal = erf_goal(goal, xnew)
-        in_goal = jnp.all(jnp.abs(e_goal) <= goal_buffer, axis=-1)
         gcost = jnp.einsum("bi,bij,bj->b", e_goal, S_new, e_goal)
 
-        return Candidates(pids=pids, length=res.length, x_seq=x_seq,
+        return Candidates(pids=pids, length=length, x_seq=x_seq,
                           u_seq=res.u_seq, xnew=xnew, S_new=S_new,
                           K_new=K_new, in_goal=in_goal, gcost=gcost)
 

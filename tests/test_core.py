@@ -234,3 +234,41 @@ def test_refine_commit_leaf_replacement():
     # victim set is now {2} again (its gcost 1.0); goal cand score << 1.0
     assert bool(out2.in_goal[2])
     assert int(out2.size) == 5
+
+
+def test_expand_truncates_at_first_goal_entry():
+    """A rollout that passes THROUGH the goal box is cut at its first in-goal
+    step: length drops below the horizon, the node lands inside the box, and
+    time-to-goal gains dt resolution (core/rounds.py first-entry truncation;
+    the reference tests only the endpoint, quantizing plan durations at
+    horizon multiples)."""
+    from lqrrt_tpu.core.rounds import RoundSpec, make_expand
+    from lqrrt_tpu.core.tree import init_tree
+    from lqrrt_tpu.models import double_integrator as di
+
+    prob = di.default_problem(obstacles=False)
+    H = 80
+    spec = RoundSpec(nstates=4, ncontrols=2, batch=4, horizon_steps=H,
+                     capacity=64, dt=prob["dt"], nn_block=64)
+    # goal halfway along the path to the steer target, velocity unconstrained
+    goal = jnp.asarray([2.0, 0.0, 0.0, 0.0])
+    buffer = jnp.asarray([0.4, 0.4, 50.0, 50.0])
+    expand = make_expand(spec, prob["dynamics"], prob["lqr"], prob["erf"],
+                         lambda x, u: jnp.bool_(True), 1e-4, buffer,
+                         saturate=prob["saturate"])
+    S0, K0 = prob["lqr"](None, None)
+    tree = init_tree(64, H, 4, 2, jnp.zeros(4), S0, K0, 1e9, False)
+    xrand = jnp.tile(jnp.asarray([6.0, 0.0, 0.0, 0.0])[None], (4, 1))
+    c = jax.jit(expand)(tree, xrand, goal)
+
+    length = np.asarray(c.length)
+    assert bool(np.all(np.asarray(c.in_goal))), "rollout crosses the box"
+    assert np.all(length < H), f"not truncated: {length}"
+    # node state is inside the goal box...
+    e = np.abs(np.asarray(goal) - np.asarray(c.xnew))
+    assert np.all(e <= np.asarray(buffer) + 1e-6)
+    # ...and is exactly the FIRST in-goal rollout step
+    xs = np.asarray(c.x_seq[0])
+    inside = np.all(np.abs(np.asarray(goal) - xs) <= np.asarray(buffer),
+                    axis=-1)
+    assert int(length[0]) - 1 == int(np.argmax(inside))
