@@ -197,8 +197,14 @@ def nearest_pallas(states, S, size, xrand, *, block: int = 1024,
         fitting = [b for b in cands if b <= cap]
         return max(fitting) if fitting else min(cands)
 
-    Bt = pick(B, 8, 1024)
     blk = pick(N, 128, block)
+    # Cap the (Bt, blk) tile product: the kernel body stacks several f32/i32
+    # (Bt, blk) temporaries (cost + wrap-correction planes, index iota,
+    # masked select) in scoped VMEM, and real-TPU compiles enforce a 16 MiB
+    # limit that interpret mode never checks — at blk=2048, Bt=1024 the stack
+    # hits 22.3 MiB and compilation fails (observed on v5e).  512*1024 keeps
+    # the MXU matmul shapes ample while staying well under the limit.
+    Bt = pick(B, 8, min(1024, max(512 * 1024 // blk, 8)))
     assert N % blk == 0 and B % Bt == 0, (N, blk, B, Bt)
     F = feature_dim(n)
     nblocks = N // blk
