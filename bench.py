@@ -13,11 +13,13 @@ expansions/s (north star: >= 100x).
 Extra fields in the same JSON line:
   pallas_equiv_*        on-device Pallas-vs-jnp NN kernel equivalence at
                         bench shapes (SURVEY.md section 4 item 1)
-  plan_duration_s_*     boat plan quality at 0.3 s vs 1.0 s anytime budgets
-                        (leaf-replacement refinement must buy quality)
+  plan_duration_s_*     boat plan quality at 0.2 s vs 1.0 s anytime budgets
+  refine_quality_ok     true iff the 1.0 s plan is STRICTLY shorter than the
+                        0.2 s plan (anytime restarts must buy quality,
+                        VERDICT round 2 item 1)
   quality_*             oracle-vs-TPU plan-quality ratios for boat, car and
-                        quadrotor at fixed seeds (golden parity, SURVEY.md
-                        section 4 item 2)
+                        quadrotor, averaged over seeds (golden parity,
+                        SURVEY.md section 4 item 2)
 
 Extra diagnostics (p50 replan latency, goal rate) go to stderr.
 """
@@ -66,10 +68,13 @@ def bench_tpu(prob, budget_s=1.0, batch=8192, capacity=32768, repeats=3):
         horizon=prob["horizon"], dt=prob["dt"], goal0=prob["goal"],
         printing=False, batch_size=batch, capacity=capacity,
         wrap_dims=prob["wrap_dims"], saturate=prob["saturate"], seed=0)
-    # warm the jit cache (compile excluded from the timed budget); pruning
-    # on so the shortcut-steer program compiles here, not in the p50 runs
-    planner.update_plan(prob["x0"], prob["sample_space"], goal_bias=0.0,
-                        specific_time=0.05, pruning=True)
+    # warm EVERY dispatchable program (compile excluded from the timed
+    # budget): grow chunk, restart-stash score, extraction, and the
+    # shortcut-steer batch — so run 0 is within ~2x of steady state
+    # (VERDICT round 2 weak #2: a lazily-compiled variant cost run 0 a 72x
+    # slowdown in round 2)
+    planner.warmup(prob["x0"], prob["sample_space"], goal_bias=0.0,
+                   pruning=True)
     eps, lats, goals = [], [], 0
     for r in range(repeats):
         planner._key = __import__("jax").random.PRNGKey(100 + r)
@@ -95,9 +100,9 @@ def bench_tpu(prob, budget_s=1.0, batch=8192, capacity=32768, repeats=3):
         f"{np.median(glats):.3f}s")
 
     # plan quality vs anytime budget (fixed seed): once the tree saturates
-    # capacity the leaf-replacement refinement must keep buying quality, so
-    # the 1.0 s plan should be no longer than the 0.3 s plan (VERDICT round 1
-    # item 2; SURVEY.md C2 anytime refinement)
+    # capacity, anytime restarts (stash best tree, reseed, keep growing)
+    # must keep buying quality — the 1.0 s plan must be STRICTLY shorter
+    # than the 0.2 s plan (VERDICT round 2 item 1; SURVEY.md C2)
     durs = {}
     for budget in (0.2, 1.0):
         planner._key = __import__("jax").random.PRNGKey(777)
@@ -106,7 +111,7 @@ def bench_tpu(prob, budget_s=1.0, batch=8192, capacity=32768, repeats=3):
                             specific_time=budget, pruning=True)
         durs[budget] = float(planner.T)
         log(f"  plan quality: budget {budget}s -> duration {planner.T:.2f}s "
-            f"(refine_rounds={planner.stats['refine_rounds']})")
+            f"(restarts={planner.stats['restarts']})")
     return float(np.median(eps)), float(np.median(glats)), durs
 
 
@@ -228,23 +233,30 @@ def _oracle_problem(name):
 
 
 def bench_quality(names=("boat", "car", "quadrotor"), tpu_budget=1.0):
-    """Oracle-vs-TPU plan quality at fixed seeds (golden parity, SURVEY.md
-    section 4 item 2; VERDICT round 1 item 8).  Ratio = TPU plan duration /
-    oracle plan duration; both planners get the same problem, same per-dim
-    goal bias, disjoint solver stacks end to end."""
+    """Oracle-vs-TPU plan quality over multiple seeds (golden parity,
+    SURVEY.md section 4 item 2; VERDICT round 2 item 9).  Ratio = TPU plan
+    duration / oracle plan duration; both planners get the same problem,
+    same per-dim goal bias, disjoint solver stacks end to end.  Reported:
+    per-seed ratios + mean, so the headline numbers carry their variance.
+
+    Note the TPU planner truncates goal edges at FIRST goal entry while the
+    oracle (reference semantics) tests only rollout endpoints — part of the
+    duration advantage is that dt-resolution; see PARITY.md C6.
+    """
     import lqrrt_tpu
 
     # Oracle budgets: the sequential reference needs far longer than the TPU
-    # planner to reach the goal at all; the nonholonomic car and the 12-state
-    # quadrotor get 20 s of CPU (still typically only ~1-2k nodes).
-    oracle_budget = {"boat": 6.0, "car": 20.0, "quadrotor": 20.0}
+    # planner to reach the goal at all.  The nonholonomic car gets 30 s and
+    # seeds verified to give it a fighting chance (at 20 s / seed 7 it never
+    # reached the goal, leaving the ratio unmeasured — VERDICT round 2 weak
+    # #8); fewer car/quadrotor seeds keep total oracle time bounded.
+    oracle_budget = {"boat": 6.0, "car": 30.0, "quadrotor": 20.0}
+    seeds = {"boat": (7, 11, 23, 31, 47), "car": (11, 23, 31),
+             "quadrotor": (7, 11, 23)}
     out = {}
     for name in names:
         orc, prob, bias = _oracle_problem(name)
         ob = oracle_budget.get(name, 6.0)
-        reached_o, stats_o, _ = orc.plan(
-            prob["x0"], prob["goal"], prob["sample_space"], goal_bias=bias,
-            seed=7, min_time=ob, max_time=ob)  # full-budget anytime, like TPU
         planner = lqrrt_tpu.Planner(
             prob["dynamics"], prob["lqr"], prob["constraints"],
             horizon=prob["horizon"], dt=prob["dt"], goal0=prob["goal"],
@@ -253,22 +265,37 @@ def bench_quality(names=("boat", "car", "quadrotor"), tpu_budget=1.0):
         planner.update_plan(prob["x0"], prob["sample_space"],
                             goal_bias=list(bias), specific_time=0.05,
                             pruning=False)  # warm compile, untimed
-        planner._key = __import__("jax").random.PRNGKey(7)
-        # pruning off: the oracle extracts its raw best branch, so the fair
-        # duration comparison is the unsmoothed TPU branch
-        reached_t = planner.update_plan(
-            prob["x0"], prob["sample_space"], goal_bias=list(bias),
-            specific_time=tpu_budget, pruning=False)
-        dur_o = float(stats_o["plan_duration_s"])
-        dur_t = float(planner.T)
-        ratio = (round(dur_t / dur_o, 3) if reached_o and reached_t
-                 and dur_o > 0 else None)
-        out[f"quality_{name}_goal_oracle"] = bool(reached_o)
-        out[f"quality_{name}_goal_tpu"] = bool(reached_t)
-        out[f"quality_{name}_duration_ratio"] = ratio
-        log(f"quality [{name}]: oracle {dur_o:.2f}s (goal={reached_o}, "
-            f"{stats_o['nodes']} nodes in {ob}s) vs tpu "
-            f"{dur_t:.2f}s (goal={reached_t}) -> ratio={ratio}")
+        ratios, go, gt = [], 0, 0
+        for seed in seeds.get(name, (7,)):
+            reached_o, stats_o, _ = orc.plan(
+                prob["x0"], prob["goal"], prob["sample_space"],
+                goal_bias=bias, seed=seed, min_time=ob, max_time=ob)
+            planner._key = __import__("jax").random.PRNGKey(seed)
+            # pruning off: the oracle extracts its raw best branch, so the
+            # fair duration comparison is the unsmoothed TPU branch
+            reached_t = planner.update_plan(
+                prob["x0"], prob["sample_space"], goal_bias=list(bias),
+                specific_time=tpu_budget, pruning=False)
+            dur_o = float(stats_o["plan_duration_s"])
+            dur_t = float(planner.T)
+            go += int(reached_o)
+            gt += int(reached_t)
+            ratio = (round(dur_t / dur_o, 3) if reached_o and reached_t
+                     and dur_o > 0 else None)
+            if ratio is not None:
+                ratios.append(ratio)
+            log(f"quality [{name}] seed {seed}: oracle {dur_o:.2f}s "
+                f"(goal={reached_o}, {stats_o['nodes']} nodes in {ob}s) vs "
+                f"tpu {dur_t:.2f}s (goal={reached_t}) -> ratio={ratio}")
+        n = len(seeds.get(name, (7,)))
+        out[f"quality_{name}_goal_oracle"] = f"{go}/{n}"
+        out[f"quality_{name}_goal_tpu"] = f"{gt}/{n}"
+        out[f"quality_{name}_duration_ratio"] = (
+            round(float(np.mean(ratios)), 3) if ratios else None)
+        out[f"quality_{name}_duration_ratio_seeds"] = ratios
+        log(f"quality [{name}]: mean ratio "
+            f"{out[f'quality_{name}_duration_ratio']} over {len(ratios)} "
+            f"measurable seeds (oracle goal {go}/{n}, tpu goal {gt}/{n})")
     return out
 
 
@@ -296,6 +323,11 @@ def main():
     tpu_eps, p50, durs = bench_tpu(prob)
     extra["plan_duration_s_budget_0p2"] = round(durs[0.2], 3)
     extra["plan_duration_s_budget_1p0"] = round(durs[1.0], 3)
+    # explicit pass/fail so a refinement regression cannot hide in identical
+    # durations (ADVICE round 2; VERDICT round 2 item 1 "Done =" criterion)
+    extra["refine_quality_ok"] = bool(durs[1.0] < durs[0.2] - 1e-3)
+    log(f"refine quality gate (1.0s strictly shorter than 0.2s): "
+        f"{extra['refine_quality_ok']}")
 
     try:
         extra.update(bench_quality())

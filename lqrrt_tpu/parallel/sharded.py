@@ -101,6 +101,19 @@ def make_sharded_round_body(
     if collective not in ("gather", "topk"):
         raise ValueError(f"unknown collective {collective!r}")
     local_b = spec.batch // n_dev
+    rewire = None
+    if commit == "refine":
+        # Mirror the single-chip refine round (core/rounds.py
+        # make_refine_round): half the batch expands-and-replaces, half
+        # drives the rewire pass.  The rewire runs REPLICATED — every device
+        # derives the same targets/sources from the unfolded round key, so
+        # the per-device trees stay bit-identical with zero extra collectives
+        # (the candidate half still shards over the mesh as usual).
+        from ..core.rewire import make_rewire
+        local_b = max(local_b // 2, 1)
+        rewire = make_rewire(spec, dynamics, lqr, erf, is_feasible,
+                             error_tol, batch=max(spec.batch // 2, 1),
+                             wrap_mask=wrap_mask, saturate=saturate)
     if collective == "topk":
         topk = min(int(topk if topk is not None else spec.batch // 8),
                    spec.batch)
@@ -112,6 +125,8 @@ def make_sharded_round_body(
 
     def round_body(tree: TreeArrays, key, goal, sample_space, goal_bias,
                    bias_target) -> TreeArrays:
+        if rewire is not None:
+            key, key_rw = jax.random.split(key)
         # per-device key fold -> independent sample shard (P1)
         idx = jax.lax.axis_index(axis)
         key_i = jax.random.fold_in(key, idx)
@@ -128,7 +143,8 @@ def make_sharded_round_body(
             cand_full = jax.tree.map(
                 lambda x: jax.lax.all_gather(x, axis, axis=0, tiled=True),
                 cand)
-            return commit_candidates(spec, tree, cand_full, mode=commit)
+            tree = commit_candidates(spec, tree, cand_full, mode=commit)
+            return tree if rewire is None else rewire(tree, key_rw)
 
         # --- topk: score exchange + psum of zero-masked winner rows ---
         score = candidate_scores(tree, cand, spec.dt)          # (local_b,)
@@ -153,7 +169,8 @@ def make_sharded_round_body(
         feas = jnp.take(score_all, gidx) < jnp.inf
         winners = winners._replace(
             length=jnp.where(feas, winners.length, 0))
-        return commit_candidates(spec, tree, winners, mode=commit)
+        tree = commit_candidates(spec, tree, winners, mode=commit)
+        return tree if rewire is None else rewire(tree, key_rw)
 
     return round_body
 

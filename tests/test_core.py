@@ -129,6 +129,52 @@ def test_steer_truncates_on_infeasible():
     assert float(res.xnew[0, 0]) <= 0.5
 
 
+def test_steer_goal_stop_first_entry():
+    """goal_buffer= fuses first-entry goal truncation into the scan (C6,
+    VERDICT r2 item 3): the rollout must stop at the FIRST step inside the
+    goal box, length/in_goal/xnew must match the two-pass reference (sweep
+    the plain rollout for the first committed in-goal step)."""
+    n, H, dt = 4, 120, 0.05
+    K = jnp.array([[2.0, 0.0, 2.5, 0.0], [0.0, 2.0, 0.0, 2.5]])
+    gbuf = jnp.array([0.3, 0.3, 2.0, 2.0])
+    goal = jnp.array([1.6, -1.2, 0.0, 0.0])
+    feas = lambda x, u: jnp.bool_(True)  # noqa: E731
+    plain = make_steer(_di_dynamics, jnp.subtract, feas, H, dt, 0.05)
+    fused = make_steer(_di_dynamics, jnp.subtract, feas, H, dt, 0.05,
+                       goal_buffer=gbuf)
+    x0 = jnp.zeros((3, n))
+    # target 0 passes through the goal box toward a farther point; target 1
+    # converges inside the box; target 2 never enters it
+    xtar = jnp.array([[3.2, -2.4, 0.0, 0.0],
+                      [1.6, -1.2, 0.0, 0.0],
+                      [-2.0, 2.0, 0.0, 0.0]])
+    rp = plain(x0, jnp.tile(K[None], (3, 1, 1)), xtar)
+    rf = fused(x0, jnp.tile(K[None], (3, 1, 1)), xtar, goal)
+
+    # two-pass reference on the plain rollout
+    hit = np.all(np.abs(np.asarray(goal) - np.asarray(rp.x_seq))
+                 <= np.asarray(gbuf), axis=-1)
+    steps = np.arange(H)[None, :]
+    hit &= steps < np.asarray(rp.length)[:, None]
+    any_hit = hit.any(axis=1)
+    first = np.where(any_hit, hit.argmax(axis=1), 0)
+
+    np.testing.assert_array_equal(np.asarray(rf.in_goal), any_hit)
+    assert any_hit[0] and any_hit[1] and not any_hit[2]
+    for b in range(3):
+        if any_hit[b]:
+            assert int(rf.length[b]) == first[b] + 1
+            np.testing.assert_allclose(np.asarray(rf.xnew[b]),
+                                       np.asarray(rp.x_seq[b, first[b]]),
+                                       atol=1e-6)
+        else:
+            assert int(rf.length[b]) == int(rp.length[b])
+    # prefix of the rollout identical to the plain steer
+    ln0 = int(rf.length[0])
+    np.testing.assert_allclose(np.asarray(rf.x_seq[0, :ln0]),
+                               np.asarray(rp.x_seq[0, :ln0]), atol=1e-6)
+
+
 def test_wrap_angle():
     np.testing.assert_allclose(float(wrap_angle(jnp.pi + 0.1)),
                                -jnp.pi + 0.1, atol=1e-6)

