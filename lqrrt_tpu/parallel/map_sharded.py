@@ -57,6 +57,19 @@ class ShardedGrid:
         self.n_shards = n_shards
         self.pos_dims = np.asarray(list(pos_dims))
 
+    def occupied_host(self, p):
+        """Full-grid occupancy verdict on the host (numpy): p (..., 2) ->
+        bool (...).  Used by the planner facade to validate pruning/finish
+        shortcut rollouts, which steer with only the local predicates (the
+        sharded slabs live on device; the full grid is cheap host-side)."""
+        p = np.asarray(p)
+        cell = np.floor((p - self.origin) / self.resolution).astype(np.int64)
+        cx, cy = cell[..., 0], cell[..., 1]
+        oob = (cx < 0) | (cx >= self.W) | (cy < 0) | (cy >= self.H)
+        occ_full = self.occ_sharded.reshape(-1, self.W)[:self.H]
+        occ = occ_full[np.clip(cy, 0, self.H - 1), np.clip(cx, 0, self.W - 1)]
+        return occ | oob
+
     def occupied_local(self, p, slab, shard_idx):
         """Occupied-verdict of positions p (..., 2) against ONE slab
         (rows_per, W); points outside the slab's rows contribute False
@@ -158,16 +171,19 @@ def make_map_sharded_round(spec: RoundSpec, mesh: Mesh, grid: ShardedGrid,
         check_vma=False)
 
 
-def make_dp_map_round(spec: RoundSpec, mesh: Mesh, grid: ShardedGrid,
-                      dynamics: Callable, lqr: Callable, erf: Callable,
-                      local_feasible: Callable, error_tol, goal_buffer,
-                      wrap_mask=None, saturate: Callable | None = None,
-                      nearest_fn: Callable | None = None,
-                      dp_axis: str = "dp", map_axis: str = "map") -> Callable:
-    """P1 x P3 composed round over a 2-D (dp, map) mesh: the candidate batch
-    is sharded over ``dp_axis`` AND the occupancy grid over ``map_axis`` —
-    the harbor-scale-map + large-batch case the mutually-exclusive P1/P3
-    rounds could not express (round-1 review, missing item 3).
+def make_dp_map_round_body(
+        spec: RoundSpec, n_dp: int, n_map: int, grid: ShardedGrid,
+        dynamics: Callable, lqr: Callable, erf: Callable,
+        local_feasible: Callable, error_tol, goal_buffer, wrap_mask=None,
+        saturate: Callable | None = None,
+        nearest_fn: Callable | None = None,
+        xrand_gen: Callable | None = None,
+        dp_axis: str = "dp", map_axis: str = "map") -> Callable:
+    """PER-DEVICE body of the P1 x P3 composed round — call it inside a
+    shard_map over a 2-D (dp, map) mesh (e.g. from the Planner facade's
+    jitted chunk loop; make_dp_map_round wraps it for single-round use).
+
+    round_body(tree, slab, key, goal, sample_space, goal_bias, bias_target)
 
     Layout: device (i, j) steers candidate shard i (identical for all j —
     the key folds over dp only) and holds grid slab j.  Per round: the
@@ -175,12 +191,10 @@ def make_dp_map_round(spec: RoundSpec, mesh: Mesh, grid: ShardedGrid,
     then the all-gather over ``dp_axis`` exchanges the surviving candidates;
     the tree commits replicated everywhere.  Comm: one (local_b x H) int
     psum on the map axis + the candidate gather on the dp axis.
-
-    round(tree, slab, key, goal, sample_space, goal_bias, bias_target).
     spec.batch is the GLOBAL candidate batch (divided over dp_axis).
+    ``xrand_gen(key_i, local_b)``, if given, replaces the default sampler
+    and receives the per-dp-row folded key.
     """
-    n_dp = mesh.shape[dp_axis]
-    n_map = mesh.shape[map_axis]
     assert grid.n_shards == n_map, (grid.n_shards, n_map)
     if spec.batch % n_dp != 0:
         raise ValueError(f"batch {spec.batch} not divisible by {dp_axis}="
@@ -196,8 +210,11 @@ def make_dp_map_round(spec: RoundSpec, mesh: Mesh, grid: ShardedGrid,
         # P1: per-dp-row key fold; all map shards of a row draw identically
         di = jax.lax.axis_index(dp_axis)
         key_i = jax.random.fold_in(key, di)
-        xrand = sample_batch(key_i, local_b, sample_space, goal_bias,
-                             bias_target)
+        if xrand_gen is None:
+            xrand = sample_batch(key_i, local_b, sample_space, goal_bias,
+                                 bias_target)
+        else:
+            xrand = xrand_gen(key_i, local_b)
         c = expand(tree, xrand, goal)        # local compute
         # P3: map-axis collision reduction on the local candidate shard
         c = truncate(tree, c, slab, goal)
@@ -211,9 +228,32 @@ def make_dp_map_round(spec: RoundSpec, mesh: Mesh, grid: ShardedGrid,
                       c_full.S_new, c_full.K_new, c_full.in_goal,
                       c_full.gcost)
 
+    return round_body
+
+
+def make_dp_map_round(spec: RoundSpec, mesh: Mesh, grid: ShardedGrid,
+                      dynamics: Callable, lqr: Callable, erf: Callable,
+                      local_feasible: Callable, error_tol, goal_buffer,
+                      wrap_mask=None, saturate: Callable | None = None,
+                      nearest_fn: Callable | None = None,
+                      dp_axis: str = "dp", map_axis: str = "map") -> Callable:
+    """P1 x P3 composed round over a 2-D (dp, map) mesh: the candidate batch
+    is sharded over ``dp_axis`` AND the occupancy grid over ``map_axis`` —
+    the harbor-scale-map + large-batch case the mutually-exclusive P1/P3
+    rounds could not express (round-1 review, missing item 3).
+
+    round(tree, slab, key, goal, sample_space, goal_bias, bias_target).
+    Reachable from the Planner facade via Planner(mesh=..,
+    feasibility_grid=ShardedGrid(...)) with the full anytime surface.
+    """
+    body = make_dp_map_round_body(
+        spec, mesh.shape[dp_axis], mesh.shape[map_axis], grid, dynamics,
+        lqr, erf, local_feasible, error_tol, goal_buffer,
+        wrap_mask=wrap_mask, saturate=saturate, nearest_fn=nearest_fn,
+        dp_axis=dp_axis, map_axis=map_axis)
     rep = P()
     return shard_map(
-        round_body, mesh=mesh,
+        body, mesh=mesh,
         in_specs=(rep, P(map_axis), rep, rep, rep, rep, rep),
         out_specs=rep,
         check_vma=False)

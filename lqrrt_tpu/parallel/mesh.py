@@ -54,6 +54,25 @@ def make_mesh_2d(n_hosts: int, chips_per_host: int | None = None,
     return Mesh(grid, axes)
 
 
+def make_mesh_dp_map(n_dp: int, n_map: int | None = None,
+                     axes: tuple[str, str] = ("dp", "map")) -> Mesh:
+    """2-D (dp x map) mesh for the P1 x P3 composed rounds: candidate batch
+    sharded over ``dp``, occupancy-grid slabs over ``map``
+    (parallel/map_sharded.py; reachable from Planner(mesh=...,
+    feasibility_grid=...)).  Pass n_dp=1 for a pure map-sharded (P3)
+    deployment."""
+    devs = jax.devices()
+    if n_map is None:
+        if len(devs) % n_dp != 0:
+            raise ValueError(
+                f"{len(devs)} devices not divisible by n_dp={n_dp}")
+        n_map = len(devs) // n_dp
+    need = n_dp * n_map
+    if len(devs) < need:
+        raise ValueError(f"need {need} devices, have {len(devs)}")
+    return Mesh(np.asarray(devs[:need]).reshape(n_dp, n_map), axes)
+
+
 def init_distributed(coordinator: str | None = None,
                      num_processes: int | None = None,
                      process_id: int | None = None):

@@ -63,7 +63,8 @@ class Planner:
                  rounds_per_chunk: int = 8, nn_impl: str = "auto",
                  mesh=None, mesh_axis: str = "dp",
                  collective: str = "gather", topk: Optional[int] = None,
-                 refine: bool = True):
+                 refine: bool = True,
+                 feasibility_grid=None, map_axis: str = "map"):
         if horizon <= 0 or dt <= 0:
             raise ValueError("horizon and dt must be positive")
         if nn_impl not in ("auto", "pallas", "pallas_const", "jnp"):
@@ -79,6 +80,17 @@ class Planner:
                 raise ValueError(
                     f"batch_size={batch_size} must divide by the mesh "
                     f"'{mesh_axis}' axis size {n_dev}")
+        if feasibility_grid is not None:
+            if mesh is None:
+                raise ValueError("feasibility_grid requires mesh= (the grid "
+                                 "slabs shard over the mesh's map axis)")
+            if map_axis not in mesh.shape:
+                raise ValueError(f"mesh has no '{map_axis}' axis for the "
+                                 f"sharded grid (axes: {tuple(mesh.shape)})")
+            if feasibility_grid.n_shards != mesh.shape[map_axis]:
+                raise ValueError(
+                    f"grid has {feasibility_grid.n_shards} shards but mesh "
+                    f"'{map_axis}' axis has {mesh.shape[map_axis]} devices")
         self.dynamics = dynamics
         self.lqr = lqr
         self.constraints = constraints
@@ -138,6 +150,13 @@ class Planner:
         self.mesh_axis = mesh_axis
         self.collective = collective
         self.topk = topk
+        # P3 / P1 x P3 (SURVEY.md 2.4): occupancy grid row-sharded over the
+        # mesh's ``map_axis``; every chunk runs the composed dp x map round
+        # (parallel/map_sharded.py) with ONE collision psum per round.  The
+        # grid's slabs ride the chunk as a sharded traced argument.
+        self.feasibility_grid = feasibility_grid
+        self.map_axis = map_axis
+        self._grid_slab = None          # device-placed slabs, cached
         # refine=True: once the tree saturates its capacity, the anytime loop
         # STASHES the tree if it carries the best plan so far (one scalar
         # fetch + zero-copy handle keep), reseeds, and keeps growing — so the
@@ -384,16 +403,32 @@ class Planner:
         n_inner = self.rounds_per_chunk
         user_feas = self.constraints.is_feasible
         uses_data = self.constraints.feasibility_data is not None
-        mk_body = dict(
-            spec=spec, n_dev=n_dev, dynamics=self.dynamics, lqr=self.lqr,
-            erf=self.erf, error_tol=self.error_tol,
-            goal_buffer=self.constraints.goal_buffer,
-            axis=self.mesh_axis, collective=self.collective, topk=self.topk,
-            commit=commit, **common)
+        grid = self.feasibility_grid
+        if grid is None:
+            mk_body = dict(
+                spec=spec, n_dev=n_dev, dynamics=self.dynamics, lqr=self.lqr,
+                erf=self.erf, error_tol=self.error_tol,
+                goal_buffer=self.constraints.goal_buffer,
+                axis=self.mesh_axis, collective=self.collective,
+                topk=self.topk, commit=commit, **common)
+        else:
+            # P3 / P1 x P3 composed chunk: the sharded-grid round body with
+            # the slab threaded through the fori_loop as a sharded arg
+            from .parallel.map_sharded import make_dp_map_round_body
+            if commit != "grow":
+                raise ValueError("feasibility_grid supports commit='grow' "
+                                 "(the facade's restart-stash anytime path)")
+            mk_body = dict(
+                spec=spec, n_dp=n_dev, n_map=self.mesh.shape[self.map_axis],
+                grid=grid, dynamics=self.dynamics, lqr=self.lqr,
+                erf=self.erf, error_tol=self.error_tol,
+                goal_buffer=self.constraints.goal_buffer,
+                dp_axis=self.mesh_axis, map_axis=self.map_axis, **common)
 
         def device_fn(tree, base_key, start, goal, sample_space, goal_bias,
                       bias_target, *extra):
             ex = list(extra)
+            slab = ex.pop() if grid is not None else None
             feas = user_feas
             if uses_data:
                 # dynamic-obstacle data rides replicated through the chunk
@@ -413,12 +448,22 @@ class Planner:
                     rows = jax.random.randint(k2, (n_loc,), 0,
                                               prev_plan.shape[0])
                     return jnp.concatenate([prev_plan[rows], fresh], 0)
-            body = make_sharded_round_body(xrand_gen=gen, is_feasible=feas,
-                                           **mk_body)
+            if grid is None:
+                body = make_sharded_round_body(xrand_gen=gen,
+                                               is_feasible=feas, **mk_body)
 
-            def one(i, t):
-                k = jax.random.fold_in(base_key, start + i)
-                return body(t, k, goal, sample_space, goal_bias, bias_target)
+                def one(i, t):
+                    k = jax.random.fold_in(base_key, start + i)
+                    return body(t, k, goal, sample_space, goal_bias,
+                                bias_target)
+            else:
+                body = make_dp_map_round_body(xrand_gen=gen,
+                                              local_feasible=feas, **mk_body)
+
+                def one(i, t):
+                    k = jax.random.fold_in(base_key, start + i)
+                    return body(t, slab, k, goal, sample_space, goal_bias,
+                                bias_target)
 
             tree = jax.lax.fori_loop(0, n_inner, one, tree)
             stats = jnp.stack([tree.size,
@@ -427,7 +472,10 @@ class Planner:
 
         rep = P()
         n_args = 7 + (1 if n_fpr > 0 else 0) + (1 if uses_data else 0)
-        fn = shard_map(device_fn, mesh=self.mesh, in_specs=(rep,) * n_args,
+        in_specs = (rep,) * n_args
+        if grid is not None:
+            in_specs = in_specs + (P(self.map_axis),)   # slab, shard-leading
+        fn = shard_map(device_fn, mesh=self.mesh, in_specs=in_specs,
                        out_specs=(rep, rep), check_vma=False)
         return jax.jit(fn, donate_argnums=(0,))
 
@@ -574,6 +622,16 @@ class Planner:
             self._feas_args = (feas_data,)
         else:
             self._feas_args = ()
+
+        # Sharded-grid slabs (P3): device-placed once per planner, then ride
+        # every chunk as the last (map-sharded) traced argument.
+        if self.feasibility_grid is not None:
+            if self._grid_slab is None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                self._grid_slab = jax.device_put(
+                    jnp.asarray(self.feasibility_grid.occ_sharded),
+                    NamedSharding(self.mesh, P(self.map_axis)))
+            extra = extra + (self._grid_slab,)
 
         chunk_fn = self._get_chunk(xrand_gen, n_fpr)
 
@@ -753,6 +811,16 @@ class Planner:
                     jnp.asarray(tgt_flat), *self._feas_args)
         reached = np.asarray(res.reached).reshape(M, M)
         length = np.asarray(res.length).reshape(M, M)
+        if self.feasibility_grid is not None:
+            # the shortcut steer checks only the local predicates; validate
+            # candidate shortcuts against the FULL grid host-side (the
+            # sharded slabs are a host array too) before the greedy pick
+            pos = tuple(int(d) for d in self.feasibility_grid.pos_dims)
+            xs_all = np.asarray(res.x_seq)                    # (M*M, H, n)
+            occ = self.feasibility_grid.occupied_host(xs_all[..., pos])
+            steps = np.arange(occ.shape[1])[None, :]
+            bad = (occ & (steps < np.asarray(res.length)[:, None])).any(1)
+            reached = reached & ~bad.reshape(M, M)
 
         # greedy furthest-reachable shortcut over the window [0, W)
         segs = []          # (kind, i, j): "steer" uses res, "edge" original
@@ -842,6 +910,13 @@ class Planner:
             cut = k + 1 if costs[k] < float(cur) else 0
         else:
             cut = 0
+        if self.feasibility_grid is not None and cut >= 1:
+            # keep only the grid-feasible prefix of the terminal connection
+            pos = tuple(int(d) for d in self.feasibility_grid.pos_dims)
+            xs = np.asarray(res.x_seq)[0][:cut]
+            occ = self.feasibility_grid.occupied_host(xs[:, pos])
+            if occ.any():
+                cut = int(np.argmax(occ))
         if cut >= 1:
             x_seq = np.concatenate([x_seq, np.asarray(res.x_seq)[0][:cut]], 0)
             u_seq = np.concatenate(

@@ -115,6 +115,41 @@ def test_map_sharded_multi_round_plans_through_gap():
     assert not occ_v.any()
 
 
+def test_planner_facade_grid_mesh_e2e():
+    """Facade-level P3 (VERDICT round 2 item 6): a user with a sharded grid
+    calls plain update_plan — Planner(mesh=(dp x map), feasibility_grid=...)
+    runs the composed dp x map chunk with the full anytime surface (budget,
+    restarts, pruning, finish_on_goal, extraction) and the plan threads the
+    wall gap without ever touching an occupied cell."""
+    import lqrrt_tpu
+    from lqrrt_tpu.parallel.mesh import make_mesh_dp_map
+
+    prob = di.default_problem(obstacles=False)
+    occ, origin, res = _grid_world()
+    n_dp, n_map = 2, 4
+    mesh = make_mesh_dp_map(n_dp, n_map)
+    sgrid = ShardedGrid(occ, origin, res, n_shards=n_map)
+    planner = lqrrt_tpu.Planner(
+        prob["dynamics"], prob["lqr"], prob["constraints"],
+        horizon=1.0, dt=prob["dt"],
+        goal0=[14.0, 7.0, 0.0, 0.0], printing=False, batch_size=64,
+        capacity=512, nn_block=128, saturate=prob["saturate"], seed=4,
+        mesh=mesh, mesh_axis="dp", feasibility_grid=sgrid, map_axis="map")
+    ss = [[0.0, 16.0], [0.0, 16.0], [-2.0, 2.0], [-2.0, 2.0]]
+    reached = planner.update_plan([2.0, 7.0, 0.0, 0.0], ss,
+                                  goal_bias=[0.3, 0.3, 0, 0], pruning=True,
+                                  finish_on_goal=True, specific_time=25.0)
+    assert reached
+    xs = np.asarray(planner.x_seq)
+    # crossed the wall: starts left of it, ends right of it
+    assert xs[0][0] < 7.0 and xs[-1][0] > 13.0
+    # no plan state in an occupied cell (full-grid host check)
+    assert not sgrid.occupied_host(xs[:, :2]).any()
+    # ends inside the goal box
+    err = np.abs(np.asarray(planner.goal) - xs[-1])
+    assert np.all(err <= np.asarray(prob["constraints"].goal_buffer) + 1e-5)
+
+
 def test_dp_map_composed_round_matches_single_device():
     """P1 x P3 composition (round-1 review, missing item 3): candidates
     sharded over 'dp' AND grid rows over 'map' on a 2x4 mesh must commit
