@@ -63,7 +63,8 @@ class Planner:
                  rounds_per_chunk: int = 8, nn_impl: str = "auto",
                  mesh=None, mesh_axis: str = "dp",
                  collective: str = "gather", topk: Optional[int] = None,
-                 refine: bool = True,
+                 refine: bool = True, informed: float = 0.5,
+                 informed_anneal: float = 1.0,
                  feasibility_grid=None, map_axis: str = "map"):
         if horizon <= 0 or dt <= 0:
             raise ValueError("horizon and dt must be positive")
@@ -170,6 +171,18 @@ class Planner:
         # core/rewire.py, which remains available for workloads where it
         # can).  VERDICT round 2 item 1.
         self.refine = bool(refine)
+        # informed restarts (VERDICT r2 item 1 mechanism (b)): once a
+        # restart has stashed a goal-reaching incumbent, this fraction of
+        # every subsequent sample batch is drawn from the incumbent plan's
+        # states + noise — corridor-biased restart trees find strictly
+        # shorter arrivals the unbiased restart-min plateaus above (measured
+        # on the boat: 1 s informed (16.75 s) beats 4 s uninformed (16.90 s)
+        # and the 17.00 s unbiased plateau; tools/exp_quality.py).  The pool
+        # and fraction ride the compiled chunk as TRACED arguments, so the
+        # mechanism costs zero recompiles and is inert until an incumbent
+        # exists (fraction 0.0).  Ignored when the caller passes xrand_gen.
+        self.informed = float(informed)
+        self.informed_anneal = float(informed_anneal)
 
         self._key = jax.random.PRNGKey(seed)
         self._feas_args = ()            # (data,) during a 3-arg-feas replan
@@ -327,19 +340,45 @@ class Planner:
 
         user_feas = self.constraints.is_feasible
         uses_data = self.constraints.feasibility_data is not None
+        informed_on = xrand_gen is None and self.informed > 0.0
 
-        # ``extra`` traced args, in order: [prev_plan (FPR)], [feas_data].
-        # Both ride through the ONE compiled chunk as traced arguments, so
-        # FPR replans and dynamic-obstacle updates (SURVEY.md C9) never
-        # retrace: set_feasibility_data swaps values, not code.
+        # ``extra`` traced args, in order: [prev_plan (FPR)], [feas_data],
+        # [informed pool, informed frac].  All ride through the ONE compiled
+        # chunk as traced arguments, so FPR replans, dynamic-obstacle
+        # updates (SURVEY.md C9), and informed-restart pool refreshes never
+        # retrace: values swap, code does not.
         def call(tree, k, goal, sample_space, goal_bias, bias_target,
                  *extra):
             ex = list(extra)
+            inf_pool = inf_frac = inf_scale = None
+            if informed_on:
+                inf_scale = ex.pop()
+                inf_frac = ex.pop()
+                inf_pool = ex.pop()
             feas = user_feas
             if uses_data:
                 data = ex.pop()
                 feas = lambda x, u: user_feas(x, u, data)  # noqa: E731
-            gen = xrand_gen
+
+            def base_sample(kk, B):
+                fresh = sample_batch(kk, B, sample_space, goal_bias,
+                                     bias_target)
+                if not informed_on:
+                    return fresh
+                # informed-restart mixing: the first round(frac*B) rows come
+                # from the incumbent-plan pool + exploration noise (inert
+                # while frac == 0.0, i.e. before any goal incumbent exists);
+                # the noise scale anneals as incumbents improve
+                k2, k3 = jax.random.split(jax.random.fold_in(kk, 1))
+                r = jax.random.randint(k2, (B,), 0, inf_pool.shape[0])
+                scale = (sample_space[:, 1] - sample_space[:, 0]) * inf_scale
+                noisy = inf_pool[r] + jax.random.normal(
+                    k3, fresh.shape) * scale
+                take = jnp.arange(B) < inf_frac * B
+                return jnp.where(take[:, None], noisy, fresh)
+
+            gen = xrand_gen if xrand_gen is not None else (
+                base_sample if informed_on else None)
             if n_fpr > 0:
                 # FPR warm start: n_fpr of each batch resampled from the
                 # previous committed plan
@@ -350,8 +389,7 @@ class Planner:
                     # refine round samples half batches): clamp the pool draw
                     k1, k2 = jax.random.split(kk)
                     n_take = min(n_fpr, B - 1)
-                    fresh = sample_batch(k1, B - n_take, sample_space,
-                                         goal_bias, bias_target)
+                    fresh = base_sample(k1, B - n_take)
                     rows = jax.random.randint(k2, (n_take,), 0,
                                               prev_plan.shape[0])
                     return jnp.concatenate([prev_plan[rows], fresh], 0)
@@ -425,16 +463,40 @@ class Planner:
                 goal_buffer=self.constraints.goal_buffer,
                 dp_axis=self.mesh_axis, map_axis=self.map_axis, **common)
 
+        informed_on = xrand_gen is None and self.informed > 0.0
+
         def device_fn(tree, base_key, start, goal, sample_space, goal_bias,
                       bias_target, *extra):
             ex = list(extra)
             slab = ex.pop() if grid is not None else None
+            inf_pool = inf_frac = inf_scale = None
+            if informed_on:
+                inf_scale = ex.pop()
+                inf_frac = ex.pop()
+                inf_pool = ex.pop()
             feas = user_feas
             if uses_data:
                 # dynamic-obstacle data rides replicated through the chunk
                 data = ex.pop()
                 feas = lambda x, u: user_feas(x, u, data)  # noqa: E731
-            gen = xrand_gen
+
+            def base_sample(kk, B):
+                fresh = sample_batch(kk, B, sample_space, goal_bias,
+                                     bias_target)
+                if not informed_on:
+                    return fresh
+                # informed-restart mixing (see the single-chip chunk); pool,
+                # frac and scale are replicated, the draw is per-device
+                k2, k3 = jax.random.split(jax.random.fold_in(kk, 1))
+                r = jax.random.randint(k2, (B,), 0, inf_pool.shape[0])
+                scale = (sample_space[:, 1] - sample_space[:, 0]) * inf_scale
+                noisy = inf_pool[r] + jax.random.normal(
+                    k3, fresh.shape) * scale
+                take = jnp.arange(B) < inf_frac * B
+                return jnp.where(take[:, None], noisy, fresh)
+
+            gen = xrand_gen if xrand_gen is not None else (
+                base_sample if informed_on else None)
             if n_fpr > 0:
                 # FPR warm start, sharded: each device draws its share of the
                 # previous-plan resamples (the pool is replicated and tiny).
@@ -443,8 +505,7 @@ class Planner:
 
                 def gen(kk, B):
                     k1, k2 = jax.random.split(kk)
-                    fresh = sample_batch(k1, B - n_loc, sample_space,
-                                         goal_bias, bias_target)
+                    fresh = base_sample(k1, B - n_loc)
                     rows = jax.random.randint(k2, (n_loc,), 0,
                                               prev_plan.shape[0])
                     return jnp.concatenate([prev_plan[rows], fresh], 0)
@@ -471,7 +532,8 @@ class Planner:
             return tree, stats
 
         rep = P()
-        n_args = 7 + (1 if n_fpr > 0 else 0) + (1 if uses_data else 0)
+        n_args = (7 + (1 if n_fpr > 0 else 0) + (1 if uses_data else 0)
+                  + (3 if informed_on else 0))
         in_specs = (rep,) * n_args
         if grid is not None:
             in_specs = in_specs + (P(self.map_axis),)   # slab, shard-leading
@@ -480,19 +542,21 @@ class Planner:
         return jax.jit(fn, donate_argnums=(0,))
 
     def _score_tree(self, tree) -> tuple:
-        """Orderable plan-quality key for a tree, ONE tiny device fetch:
-        goal trees first (shorter best goal time wins), then ascending LQR
-        cost-to-go of the best node — the same criterion best_node uses.
-        Drives the anytime restart stash (lower = better)."""
+        """(orderable plan-quality key, best node id) for a tree, ONE tiny
+        device fetch: goal trees first (shorter best goal time wins), then
+        ascending LQR cost-to-go of the best node — the same criterion
+        best_node uses.  Drives the anytime restart stash (lower = better)
+        and the informed-restart pool refresh."""
         if self._score_jit is None:
             def score(t):
                 b = best_node(t)
                 return (t.goal_found,
                         jnp.where(t.goal_found, t.node_time[b], jnp.inf),
-                        t.goal_cost[b])
+                        t.goal_cost[b], b)
             self._score_jit = jax.jit(score)
-        g, d, c = jax.device_get(self._score_jit(tree))
-        return (0, float(d)) if bool(g) else (1, float(c))
+        g, d, c, b = jax.device_get(self._score_jit(tree))
+        key = (0, float(d)) if bool(g) else (1, float(c))
+        return key, int(b)
 
     def _get_seed_tree(self):
         """One jitted program seeds the whole tree at x0 — init_tree's dozen
@@ -623,6 +687,18 @@ class Planner:
         else:
             self._feas_args = ()
 
+        # Informed-restart pool (traced, inert at frac 0.0 until a restart
+        # stashes a goal incumbent; refreshed in the restart branch below).
+        informed_on = xrand_gen is None and self.informed > 0.0
+        extra = list(extra)
+        inf_slot = None
+        if informed_on:
+            inf_slot = len(extra)
+            pool0 = np.linspace(np.asarray(x0), np.asarray(self.goal),
+                                _FPR_PLAN_LEN, dtype=np.float32)
+            extra += [jnp.asarray(pool0), jnp.asarray(0.0, jnp.float32),
+                      jnp.asarray(0.05, jnp.float32)]
+
         # Sharded-grid slabs (P3): device-placed once per planner, then ride
         # every chunk as the last (map-sharded) traced argument.
         if self.feasibility_grid is not None:
@@ -631,7 +707,7 @@ class Planner:
                 self._grid_slab = jax.device_put(
                     jnp.asarray(self.feasibility_grid.occ_sharded),
                     NamedSharding(self.mesh, P(self.map_axis)))
-            extra = extra + (self._grid_slab,)
+            extra = extra + [self._grid_slab]
 
         chunk_fn = self._get_chunk(xrand_gen, n_fpr)
 
@@ -663,6 +739,8 @@ class Planner:
         pending = None
         best_stash = None            # device tree carrying the best plan
         best_key, best_size = None, 1  # (0 if goal else 1, duration | gcost)
+        pool_time = None             # incumbent time the informed pool holds
+        inf_scale = 0.05             # corridor noise scale (anneals)
         overall_goal = goal_found
         while True:
             elapsed = self.sys_time() - t0
@@ -677,10 +755,31 @@ class Planner:
                 # it carries the best plan so far, reseed, keep growing.  No
                 # copy needed — the stash keeps the only reference to the old
                 # buffers; donation only ever consumes the fresh seed tree.
-                key_cur = self._score_tree(tree)
+                key_cur, best_id = self._score_tree(tree)
                 overall_goal |= key_cur[0] == 0
-                if best_key is None or key_cur < best_key:
+                improved = best_key is None or key_cur < best_key
+                if improved:
                     best_stash, best_key, best_size = tree, key_cur, size
+                if (inf_slot is not None and improved and key_cur[0] == 0
+                        and (pool_time is None
+                             or key_cur[1] < pool_time - 0.05)):
+                    # refresh the informed pool from the new incumbent plan
+                    # (one gather + small fetch; rare — only on improvement)
+                    pool_time = key_cur[1]
+                    x_seq_b, _ = self._extract(tree, best_id)
+                    rows = np.linspace(0, len(x_seq_b) - 1,
+                                       _FPR_PLAN_LEN).astype(int)
+                    extra[inf_slot] = jnp.asarray(x_seq_b[rows], jnp.float32)
+                    extra[inf_slot + 1] = jnp.asarray(self.informed,
+                                                      jnp.float32)
+                    # optional corridor-noise annealing (default OFF:
+                    # measured on the boat, shrinking the noise as incumbents
+                    # improve kills the diversity that digs below the
+                    # plateau — 17.20 s vs 16.90 s at 15 chunks,
+                    # tools/exp_informed.py)
+                    inf_scale = max(self.informed_anneal * inf_scale,
+                                    0.015)
+                    extra[inf_slot + 2] = jnp.asarray(inf_scale, jnp.float32)
                 restarts += 1
                 tree = self._get_seed_tree()(x0, self.goal,
                                              self.constraints.goal_buffer)
@@ -708,7 +807,7 @@ class Planner:
         # Best of (final tree, stashed restarts) — the committed plan is the
         # min over every tree this budget grew (monotone in budget).
         if best_stash is not None:
-            key_fin = self._score_tree(tree)
+            key_fin, _ = self._score_tree(tree)
             overall_goal |= key_fin[0] == 0
             if key_fin < best_key:
                 best_stash, best_key = tree, key_fin

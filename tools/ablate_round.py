@@ -93,6 +93,41 @@ def main():
             return tree, sink
         return jax.jit(fn)
 
+    # goal-entry truncation ablation (VERDICT round 2 item 3): the fused
+    # in-scan goal stop (core/steer.py goal_buffer=) vs the round-2 two-pass
+    # form (plain steer + a second (B, H, n) erf sweep over the rollout)
+    steer_fused = make_steer(prob["dynamics"], prob["erf"],
+                             prob["constraints"].is_feasible, H, prob["dt"],
+                             0.05, saturate=prob["saturate"],
+                             goal_buffer=prob["constraints"].goal_buffer)
+    erf_steps = jax.vmap(erf_goal, in_axes=(None, 0))
+
+    def goal_variant(mode):
+        def fn(tree, key):
+            xrand = sample_batch(key, BATCH, ss, gb, goal)
+            pids, _ = nearest(tree.state, tree.S, tree.size, xrand)
+            if mode == "fused":
+                res = steer_fused(tree.state[pids], tree.K[pids], xrand,
+                                  goal)
+                length, in_goal = res.length, res.in_goal
+            else:
+                res = steer(tree.state[pids], tree.K[pids], xrand)
+                length, in_goal = res.length, None
+                if mode == "sweep":
+                    steps = jnp.arange(H)[None, :]
+                    hit = jnp.all(jnp.abs(erf_steps(goal, res.x_seq))
+                                  <= gbuf, axis=-1) & (steps
+                                                       < length[:, None])
+                    any_hit = jnp.any(hit, axis=-1)
+                    first = jnp.argmax(hit, axis=-1).astype(length.dtype)
+                    length = jnp.where(any_hit, first + 1, length)
+                    in_goal = any_hit
+            sink = jnp.sum(res.xnew) + jnp.sum(length.astype(jnp.float32))
+            if in_goal is not None:
+                sink = sink + jnp.sum(in_goal)
+            return sink
+        return jax.jit(fn)
+
     cases = [
         ("sample only           ", variant(False, False, False, False)),
         ("+ NN                  ", variant(True, False, False, False)),
@@ -100,6 +135,9 @@ def main():
         ("+ steer + lqr (no NN) ", variant(False, True, True, False)),
         ("full minus commit     ", variant(True, True, True, False)),
         ("FULL                  ", variant(True, True, True, True)),
+        ("NN+steer no goal test ", goal_variant("none")),
+        ("NN+steer 2-pass sweep ", goal_variant("sweep")),
+        ("NN+steer fused gstop  ", goal_variant("fused")),
     ]
     for name, fn in cases:
         print(f"{name}: {timeit(fn, tree, key)*1e3:8.3f} ms", flush=True)

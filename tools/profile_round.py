@@ -1,9 +1,13 @@
-"""Phase-level timing of one expansion round at the bench operating point.
+"""Phase-level timing of one expansion round at the bench operating point,
+plus a device-utilization artifact (SURVEY.md section 5.1; VERDICT round 2
+item 4): phase breakdown and achieved-FLOP/s vs the chip's peak for the NN
+kernel and the steer scan.  Writes PROFILE_JSON (default PROFILE_r03.json at
+the repo root) when run on a TPU.
 
 Times (jitted separately, fenced): sample, nearest (pallas + jnp), steer,
-endpoint LQR, goal test, commit, and the full fused round.  Diagnostics only;
-not part of the package.
+endpoint LQR, commit, and the full fused round.
 """
+import json
 import os
 import sys
 import time
@@ -11,8 +15,16 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+if os.environ.get("JAX_PLATFORMS"):  # env var alone is not honored here
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import jax.numpy as jnp
 import numpy as np
+
+# TPU v5e (v5 lite) peaks — public spec sheet numbers
+V5E_PEAK_BF16 = 197e12        # FLOP/s
+V5E_PEAK_HBM = 819e9          # bytes/s
 
 from lqrrt_tpu.utils.cache import enable_persistent_cache
 
@@ -69,44 +81,91 @@ def main():
     def run_round(tree_in, k):
         return rf(jax.tree.map(jnp.array, tree_in), k, goal, ss, gb, goal)
     # time full round w/o the copy using a non-donating jit
+    # the production configuration: the auto-selected const-metric Pallas NN
+    # (the boat's lqr is state-independent, detected by probing)
+    from lqrrt_tpu.ops.pallas.nn_kernel import make_nearest_const_pallas
+    nn_prod = make_nearest_const_pallas(block=spec.nn_block, wrap_dim=2)
     rf_nodon = jax.jit(make_round(spec, prob["dynamics"], prob["lqr"],
                                   prob["erf"], prob["constraints"].is_feasible,
                                   0.05, prob["constraints"].goal_buffer,
                                   wrap_mask=wrap_mask,
-                                  saturate=prob["saturate"]))
+                                  saturate=prob["saturate"],
+                                  nearest_fn=nn_prod))
     t_round = timeit(rf_nodon, t, key, goal, ss, gb, goal)
     print(f"full round:      {t_round*1e3:8.3f} ms  "
-          f"({BATCH/t_round:,.0f} exp/s)")
+          f"({BATCH/t_round:,.0f} exp/s)  [production: pallas_const NN]")
+    ph = {"round_ms": t_round * 1e3,
+          "round_expansions_per_s": BATCH / t_round}
 
     # --- phases ---
     samp = jax.jit(lambda k: sample_batch(k, spec.batch, ss, gb, goal))
-    print(f"  sample:        {timeit(samp, key)*1e3:8.3f} ms")
+    ph["sample_ms"] = timeit(samp, key) * 1e3
+    print(f"  sample:        {ph['sample_ms']:8.3f} ms")
 
     from lqrrt_tpu.core.nearest import make_nearest
     xrand = samp(key)
     nn_jnp = jax.jit(lambda st, S, sz, xr: make_nearest(
         prob["erf"], block=spec.nn_block)(st, S, sz, xr))
-    print(f"  nearest (jnp): {timeit(nn_jnp, t.state, t.S, t.size, xrand)*1e3:8.3f} ms")
+    ph["nearest_jnp_ms"] = timeit(nn_jnp, t.state, t.S, t.size, xrand) * 1e3
+    print(f"  nearest (jnp): {ph['nearest_jnp_ms']:8.3f} ms")
     try:
-        from lqrrt_tpu.ops.pallas.nn_kernel import make_nearest_pallas
+        from lqrrt_tpu.ops.pallas.nn_kernel import (feature_dim,
+                                                    make_nearest_pallas)
         nn_pl = jax.jit(lambda st, S, sz, xr: make_nearest_pallas(
             block=spec.nn_block, wrap_dim=2)(st, S, sz, xr))
-        print(f"  nearest (pal): {timeit(nn_pl, t.state, t.S, t.size, xrand)*1e3:8.3f} ms")
+        t_nn = timeit(nn_pl, t.state, t.S, t.size, xrand)
+        ph["nearest_pallas_ms"] = t_nn * 1e3
+        print(f"  nearest (pal): {t_nn*1e3:8.3f} ms")
+        # achieved FLOP/s vs peak: same formula as the kernel's CostEstimate
+        # (2 groups of (B,F)x(F,blk) MXU matmuls when the erf wraps an angle)
+        N_nodes, n = CAP, 6
+        flops = 2 * 2 * BATCH * N_nodes * feature_dim(n)
+        achieved = flops / t_nn
+        ph["nn_kernel_gflops"] = achieved / 1e9
+        ph["nn_kernel_frac_of_v5e_bf16_peak"] = achieved / V5E_PEAK_BF16
+        # bandwidth side (features + S diag + outputs, from the CostEstimate)
+        F = feature_dim(n)
+        nbytes = (2 * BATCH * F + (N_nodes // spec.nn_block) * N_nodes * F
+                  + 2 * N_nodes) * 4 + BATCH * 8
+        ph["nn_kernel_gbps"] = nbytes / t_nn / 1e9
+        print(f"    NN kernel: {achieved/1e12:.2f} TFLOP/s "
+              f"({100*achieved/V5E_PEAK_BF16:.1f}% of v5e bf16 peak), "
+              f"{nbytes/t_nn/1e9:.0f} GB/s")
+        # the const-metric VPU kernel (what the boat production path runs):
+        # whitened-distance form, (2n+5)-ish flops per pair on the VPU
+        nn_cp = jax.jit(lambda st, S, sz, xr: nn_prod(st, S, sz, xr))
+        t_cn = timeit(nn_cp, t.state, t.S, t.size, xrand)
+        ph["nearest_pallas_const_ms"] = t_cn * 1e3
+        cflops = 3 * BATCH * N_nodes * (6 + 4)
+        ph["nn_const_kernel_gflops"] = cflops / t_cn / 1e9
+        print(f"  nearest (const): {t_cn*1e3:6.3f} ms "
+              f"({cflops/t_cn/1e12:.2f} TFLOP/s VPU)")
     except Exception as e:
         print("  nearest (pal): FAILED", e)
 
     steer = make_steer(prob["dynamics"], prob["erf"],
                        prob["constraints"].is_feasible, H, prob["dt"], 0.05,
-                       saturate=prob["saturate"])
+                       saturate=prob["saturate"], goal_buffer=prob[
+                           "constraints"].goal_buffer)
     pids, _ = nn_jnp(t.state, t.S, t.size, xrand)
     x0 = t.state[pids]; Kp = t.K[pids]
     steer_j = jax.jit(steer)
-    print(f"  steer (H={H}): {timeit(steer_j, x0, Kp, xrand)*1e3:8.3f} ms")
+    t_st = timeit(steer_j, x0, Kp, xrand, goal)
+    ph["steer_ms"] = t_st * 1e3
+    # steer FLOPs: per step u=Ke (2mn) + rk4 = 4 f evals (boat f ~ 90) +
+    # state combos (~10n) + goal/tol tests (~6n) — ~550 flop/step/candidate
+    st_flops = BATCH * H * 550
+    ph["steer_gflops"] = st_flops / t_st / 1e9
+    ph["steer_frac_of_v5e_bf16_peak"] = st_flops / t_st / V5E_PEAK_BF16
+    print(f"  steer (H={H}): {t_st*1e3:8.3f} ms  "
+          f"({st_flops/t_st/1e9:.1f} GFLOP/s — latency-bound tiny-tensor "
+          f"scan, not MXU work)")
 
-    res = steer_j(x0, Kp, xrand)
+    res = steer_j(x0, Kp, xrand, goal)
     lqr_b = jax.jit(jax.vmap(prob["lqr"]))
     u_last = res.u_seq[:, -1, :]
-    print(f"  endpoint lqr:  {timeit(lqr_b, res.xnew, u_last)*1e3:8.3f} ms")
+    ph["endpoint_lqr_ms"] = timeit(lqr_b, res.xnew, u_last) * 1e3
+    print(f"  endpoint lqr:  {ph['endpoint_lqr_ms']:8.3f} ms")
 
     from lqrrt_tpu.core.commit import commit_batch_dense
     S_new, K_new = lqr_b(res.xnew, u_last)
@@ -115,7 +174,23 @@ def main():
     com = jax.jit(lambda tr: commit_batch_dense(
         jax.tree.map(jnp.array, tr), spec.dt, spec.capacity, pids, res.length,
         res.x_seq, res.u_seq, res.xnew, S_new, K_new, ing, gc))
-    print(f"  commit(dense): {timeit(com, t)*1e3:8.3f} ms   (incl tree copy)")
+    ph["commit_dense_ms"] = timeit(com, t) * 1e3
+    print(f"  commit(dense): {ph['commit_dense_ms']:8.3f} ms   (incl tree copy)")
+
+    dev = jax.devices()[0]
+    ph["device"] = str(dev)
+    ph["batch"] = BATCH
+    ph["capacity"] = CAP
+    ph["horizon_steps"] = H
+    ph["tree_size"] = int(t.size)
+    if dev.platform == "tpu":
+        out = os.environ.get("PROFILE_JSON", os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "PROFILE_r03.json"))
+        with open(out, "w") as f:
+            json.dump({k: (round(v, 4) if isinstance(v, float) else v)
+                       for k, v in ph.items()}, f, indent=1)
+        print(f"wrote {out}")
 
 
 if __name__ == "__main__":
