@@ -152,7 +152,18 @@ def bench_pallas_equiv(n=6, wrap_dim=2, N=32768, B=8192, block=1024, seed=3):
         e[:, wrap_dim] = np.mod(e[:, wrap_dim] + np.pi, 2 * np.pi) - np.pi
         return np.einsum("bi,bij,bj->b", e, S64[ids], e)
 
+    def brute64(S64, rows):
+        # true fp64 optimum over ALL live nodes for a candidate subsample —
+        # anchors the jnp reference side so a shared systematic error in
+        # both on-device paths cannot pass silently (ADVICE round 2)
+        live = int(np.asarray(size))
+        e = xr64[rows, None, :] - st64[None, :live, :]
+        e[..., wrap_dim] = np.mod(e[..., wrap_dim] + np.pi,
+                                  2 * np.pi) - np.pi
+        return np.einsum("bni,nij,bnj->bn", e, S64[:live], e).min(axis=1)
+
     out = {}
+    anchor_rows = np.arange(0, B, max(B // 256, 1))[:256]
     cases = [
         ("pallas", make_nearest_pallas(block=block, wrap_dim=wrap_dim,
                                        interpret=interp), S_var),
@@ -169,11 +180,19 @@ def bench_pallas_equiv(n=6, wrap_dim=2, N=32768, B=8192, block=1024, seed=3):
         # Pallas choice must not be worse than the jnp choice beyond fp slop
         rel_excess = (c_p - c_r) / np.maximum(np.abs(c_r), 1e-6)
         worst = float(np.max(rel_excess))
-        ok = bool(worst <= 5e-3)
+        # two-sided anchor: the jnp reference itself must match the true
+        # fp64 optimum on a candidate subsample (guards against a shared
+        # systematic error passing the one-sided check, ADVICE round 2)
+        c_star = brute64(S64, anchor_rows)
+        ref_excess = float(np.max(
+            (c_r[anchor_rows] - c_star) / np.maximum(np.abs(c_star), 1e-6)))
+        ok = bool(worst <= 5e-3 and ref_excess <= 5e-3)
         out[f"pallas_equiv_{name}_ok"] = ok
         out[f"pallas_equiv_{name}_id_match"] = round(id_match, 4)
+        out[f"pallas_equiv_{name}_ref_vs_fp64_excess"] = round(ref_excess, 6)
         log(f"pallas equiv [{name}]: id_match={id_match:.4f}, "
-            f"worst_rel_cost_excess={worst:.2e}, ok={ok}")
+            f"worst_rel_cost_excess={worst:.2e}, "
+            f"ref_vs_fp64_excess={ref_excess:.2e}, ok={ok}")
     return out
 
 
@@ -250,7 +269,10 @@ def bench_quality(names=("boat", "car", "quadrotor"), tpu_budget=1.0):
     # seeds verified to give it a fighting chance (at 20 s / seed 7 it never
     # reached the goal, leaving the ratio unmeasured — VERDICT round 2 weak
     # #8); fewer car/quadrotor seeds keep total oracle time bounded.
-    oracle_budget = {"boat": 6.0, "car": 30.0, "quadrotor": 20.0}
+    # Budgets sized so the oracle reaches the goal on most seeds even when
+    # the host is having a slow session (oracle nodes/s varies ~2x run to
+    # run; a too-tight budget collapses the measurable-ratio count)
+    oracle_budget = {"boat": 10.0, "car": 30.0, "quadrotor": 30.0}
     seeds = {"boat": (7, 11, 23, 31, 47), "car": (11, 23, 31),
              "quadrotor": (7, 11, 23)}
     out = {}

@@ -182,7 +182,11 @@ class FleetPlanner:
             done = rounds
         else:
             done = 0
-            per_round_s = None            # EMA of measured wall s/round
+            # EMA of measured wall s/round, PERSISTED across plan() calls so
+            # a warm-up call seeds the very first chunk's clamp (the first
+            # chunk otherwise dispatches rounds_per_chunk blind and can
+            # overshoot a short budget by itself)
+            per_round_s = getattr(self, "_per_round_s", None)
             while done < rounds:
                 remaining_s = max_time - (self.sys_time() - t0)
                 if remaining_s <= 0:
@@ -200,6 +204,7 @@ class FleetPlanner:
                 dt_chunk = max(self.sys_time() - tc, 1e-6) / nr
                 per_round_s = (dt_chunk if per_round_s is None
                                else 0.5 * per_round_s + 0.5 * dt_chunk)
+                self._per_round_s = per_round_s
                 done += nr
                 now = self.sys_time() - t0
                 goal_time = np.where(np.isnan(goal_time) & found,

@@ -50,6 +50,23 @@ _PRUNE_MAX = 32       # chain nodes covered by the all-pairs shortcut batch
 _FINISH_BATCH = 8     # tiled batch for the terminal goal connection
 
 
+def _chunk_stats(tree):
+    """Per-chunk stats vector, f32: [size, goal_found, best_goal_time,
+    best_goal_cost, best_id].  Carrying the restart-stash score inside the
+    chunk's one pipelined stats fetch means a restart needs ZERO extra
+    dispatches or fetches (the score used to be a separate jitted program +
+    device round trip per restart).  f32 holds ids/sizes exactly up to 2^24
+    — far above any practical capacity."""
+    b = best_node(tree)
+    f32 = jnp.float32
+    return jnp.stack([
+        tree.size.astype(f32),
+        tree.goal_found.astype(f32),
+        jnp.where(tree.goal_found, tree.node_time[b], jnp.inf),
+        tree.goal_cost[b],
+        b.astype(f32)])
+
+
 class Planner:
     def __init__(self, dynamics: Callable, lqr: Callable,
                  constraints: Constraints, horizon: float, dt: float = 0.05,
@@ -416,8 +433,7 @@ class Planner:
                 return call(t, k, goal, sample_space, goal_bias, bias_target,
                             *extra)
             tree = jax.lax.fori_loop(0, n_inner, body, tree)
-            stats = jnp.stack([tree.size,
-                               tree.goal_found.astype(jnp.int32)])
+            stats = _chunk_stats(tree)
             return tree, stats
 
         fn = jax.jit(chunk, donate_argnums=(0,))
@@ -527,8 +543,7 @@ class Planner:
                                 bias_target)
 
             tree = jax.lax.fori_loop(0, n_inner, one, tree)
-            stats = jnp.stack([tree.size,
-                               tree.goal_found.astype(jnp.int32)])
+            stats = _chunk_stats(tree)
             return tree, stats
 
         rep = P()
@@ -557,6 +572,42 @@ class Planner:
         g, d, c, b = jax.device_get(self._score_jit(tree))
         key = (0, float(d)) if bool(g) else (1, float(c))
         return key, int(b)
+
+    _POOL_DEPTH = 64   # chain-walk cap for the on-device informed pool
+
+    def _plan_pool_device(self, tree, best: int):
+        """(_FPR_PLAN_LEN, n) pool of states along the best node's root
+        chain, built ENTIRELY on device (one jitted program, result stays a
+        device array): the informed-restart pool refresh must not sync the
+        pipelined host loop — a host-side extraction here cost ~5% of
+        headline throughput per improvement."""
+        if getattr(self, "_pool_jit", None) is None:
+            D, P = self._POOL_DEPTH, _FPR_PLAN_LEN
+            H = self.horizon_steps
+
+            def pool(t, best):
+                def step(cur, _):
+                    nxt = jnp.where(cur >= 0, t.parent[cur], -1)
+                    return nxt, cur
+                _, ids = jax.lax.scan(step, best.astype(jnp.int32), None,
+                                      length=D)              # leaf-first
+                safe = jnp.clip(ids, 0, t.state.shape[0] - 1)
+                ex = t.edge_x[safe]                          # (D, H, n)
+                el = t.edge_len[safe]
+                mask = ((jnp.arange(H)[None, :] < el[:, None])
+                        & (ids >= 0)[:, None])
+                flat = ex.reshape(D * H, -1)
+                fm = mask.reshape(D * H)
+                cs = jnp.cumsum(fm)
+                total = jnp.maximum(cs[-1], 1)
+                # P evenly spaced valid entries (root state excluded; the
+                # pool is a sampling bias target, exact coverage is moot)
+                want = (jnp.arange(P) * total) // P + 1
+                pos = jnp.searchsorted(cs, want)
+                return flat[jnp.clip(pos, 0, D * H - 1)]
+
+            self._pool_jit = jax.jit(pool)
+        return self._pool_jit(tree, jnp.asarray(best, jnp.int32))
 
     def _get_seed_tree(self):
         """One jitted program seeds the whole tree at x0 — init_tree's dozen
@@ -631,6 +682,9 @@ class Planner:
                          specific_time=0.05)
         if self.refine and self._device_tree is not None:
             self._score_tree(self._device_tree)   # compile the stash score
+            if xrand_gen is None and self.informed > 0.0:
+                jax.block_until_ready(               # compile the pool walk
+                    self._plan_pool_device(self._device_tree, 0))
 
     # ------------------------------------------------------------ update_plan
 
@@ -755,21 +809,28 @@ class Planner:
                 # it carries the best plan so far, reseed, keep growing.  No
                 # copy needed — the stash keeps the only reference to the old
                 # buffers; donation only ever consumes the fresh seed tree.
-                key_cur, best_id = self._score_tree(tree)
-                overall_goal |= key_cur[0] == 0
+                # The stash score rides the chunk's OWN stats vector
+                # (_chunk_stats), so a restart costs zero extra dispatches:
+                # one fetch of the in-flight chunk's stats, one seed dispatch.
+                st = np.asarray(pending)
+                pending = None
+                size = int(st[0])
+                goal_cur = bool(st[1] > 0.5)
+                key_cur = ((0, float(st[2])) if goal_cur
+                           else (1, float(st[3])))
+                best_id = int(st[4])
+                overall_goal |= goal_cur
                 improved = best_key is None or key_cur < best_key
                 if improved:
                     best_stash, best_key, best_size = tree, key_cur, size
                 if (inf_slot is not None and improved and key_cur[0] == 0
                         and (pool_time is None
                              or key_cur[1] < pool_time - 0.05)):
-                    # refresh the informed pool from the new incumbent plan
-                    # (one gather + small fetch; rare — only on improvement)
+                    # refresh the informed pool from the new incumbent plan:
+                    # built ON DEVICE (chain walk + gather), result stays a
+                    # device array — zero host sync in the pipelined loop
                     pool_time = key_cur[1]
-                    x_seq_b, _ = self._extract(tree, best_id)
-                    rows = np.linspace(0, len(x_seq_b) - 1,
-                                       _FPR_PLAN_LEN).astype(int)
-                    extra[inf_slot] = jnp.asarray(x_seq_b[rows], jnp.float32)
+                    extra[inf_slot] = self._plan_pool_device(tree, best_id)
                     extra[inf_slot + 1] = jnp.asarray(self.informed,
                                                       jnp.float32)
                     # optional corridor-noise annealing (default OFF:
@@ -799,15 +860,19 @@ class Planner:
                 st = np.asarray(pending)     # one fetch, overlapped above
                 size, goal_found = int(st[0]), bool(st[1])
             pending = stats
+        key_fin = None
         if pending is not None:
             st = np.asarray(pending)         # final (current) stats
-            size, goal_found = int(st[0]), bool(st[1])
+            size, goal_found = int(st[0]), bool(st[1] > 0.5)
+            key_fin = ((0, float(st[2])) if goal_found
+                       else (1, float(st[3])))
         elapsed = self.sys_time() - t0
 
         # Best of (final tree, stashed restarts) — the committed plan is the
         # min over every tree this budget grew (monotone in budget).
         if best_stash is not None:
-            key_fin, _ = self._score_tree(tree)
+            if key_fin is None:              # broke right after a restart
+                key_fin, _ = self._score_tree(tree)
             overall_goal |= key_fin[0] == 0
             if key_fin < best_key:
                 best_stash, best_key = tree, key_fin
@@ -1052,16 +1117,22 @@ class Planner:
         return self._interp(plan[0], t)
 
     def get_effort(self, t: float):
-        """Plan effort at time t; zero-order hold per dt sample, endpoint hold
-        outside the plan (reference C11)."""
+        """Plan effort at time t: linear interpolation between effort
+        samples, endpoint hold outside the plan (reference C11 — SURVEY.md
+        reconstructs the reference's get_effort as the same linear
+        interpolation get_state uses [MED]; round 2 shipped ZOH, the last
+        literal C11 delta)."""
         plan = self._plan
         if plan is None:
             raise RuntimeError("no plan committed; call update_plan first")
         u_seq = plan[1]
         if len(u_seq) == 0:
             return np.zeros(self.ncontrols, np.float32)
-        i = int(np.clip(np.floor(t / self.dt), 0, len(u_seq) - 1))
-        return u_seq[i]
+        tau = np.clip(t / self.dt, 0.0, len(u_seq) - 1)
+        i = int(np.floor(tau))
+        j = min(i + 1, len(u_seq) - 1)
+        a = tau - i
+        return (1.0 - a) * u_seq[i] + a * u_seq[j]
 
     def _interp(self, seq, t: float):
         tau = np.clip(t / self.dt, 0.0, len(seq) - 1)

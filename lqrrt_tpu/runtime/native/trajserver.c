@@ -111,7 +111,9 @@ unsigned long ts_state(trajserver_t *ts, double t, float *out)
     }
 }
 
-/* Zero-order-hold effort at time t; endpoint hold.  Returns version or 0. */
+/* Interpolated effort at time t; linear between effort samples, endpoint
+ * hold — matching Planner.get_effort (reference C11).  Returns version or
+ * 0. */
 unsigned long ts_effort(trajserver_t *ts, double t, float *out)
 {
     for (;;) {
@@ -124,11 +126,16 @@ unsigned long ts_effort(trajserver_t *ts, double t, float *out)
         if (nu < 1) {
             for (int32_t k = 0; k < m; k++) out[k] = 0.0f;
         } else {
-            double fi = t / b->dt;
-            int32_t i = fi <= 0.0 ? 0 : (int32_t)fi;
-            if (i > nu - 1) i = nu - 1;
+            double tau = t / b->dt;
+            if (tau < 0.0) tau = 0.0;
+            if (tau > (double)(nu - 1)) tau = (double)(nu - 1);
+            int32_t i = (int32_t)tau;
+            int32_t j = i + 1 < nu ? i + 1 : nu - 1;
+            float a = (float)(tau - (double)i);
             const float *ui = b->u + (size_t)i * m;
-            for (int32_t k = 0; k < m; k++) out[k] = ui[k];
+            const float *uj = b->u + (size_t)j * m;
+            for (int32_t k = 0; k < m; k++)
+                out[k] = (1.0f - a) * ui[k] + a * uj[k];
         }
         unsigned long s1 = __atomic_load_n(&ts->seq, __ATOMIC_ACQUIRE);
         if (s0 == s1) return s0;

@@ -37,8 +37,13 @@ def test_query_parity_with_python_interp():
         ref_x = (1 - a) * x[i] + a * x[j]
         np.testing.assert_allclose(ts.get_state(t), ref_x, rtol=1e-6,
                                    atol=1e-6)
-        k = int(np.clip(np.floor(t / dt), 0, len(u) - 1))
-        np.testing.assert_array_equal(ts.get_effort(t), u[k])
+        tau_u = np.clip(t / dt, 0, len(u) - 1)
+        ki = int(np.floor(tau_u))
+        kj = min(ki + 1, len(u) - 1)
+        ka = tau_u - ki
+        ref_u = (1 - ka) * u[ki] + ka * u[kj]
+        np.testing.assert_allclose(ts.get_effort(t), ref_u, rtol=1e-6,
+                                   atol=1e-6)
 
 
 def test_capacity_and_unpublished_errors():
@@ -101,7 +106,7 @@ def test_attach_planner_publishes_on_replan():
                         specific_time=1.0, pruning=False)
     np.testing.assert_allclose(ts.get_state(0.5), planner.get_state(0.5),
                                rtol=1e-6, atol=1e-6)
-    np.testing.assert_array_equal(ts.get_effort(0.5),
-                                  planner.get_effort(0.5))
+    np.testing.assert_allclose(ts.get_effort(0.5), planner.get_effort(0.5),
+                               rtol=1e-6, atol=1e-6)
     assert abs(ts.T - planner.T) < 1e-6
     assert len(buf.records) == 1            # composed hook still fired

@@ -336,13 +336,25 @@ def test_fleet_per_scenario_worlds_and_batched_extraction(prob):
     for s in range(S):
         d = np.linalg.norm(st[s, :sizes[s], :2] - centers[s, 0], axis=1)
         assert d.min() > 0.8, f"scenario {s} violated its own obstacle"
-    # batched extraction == per-scenario reference (old loop semantics)
+    # batched extraction == a manual host climb (old loop semantics)
     plans = fleet.extract_plans()
     assert set(plans) == set(range(S))
+    from lqrrt_tpu.core.tree import best_node
     for s in (0, 3, 7):
         np.testing.assert_allclose(plans[s][0], x0s[s], atol=1e-5)
-        chain = plans[s]
-        assert chain.ndim == 2 and chain.shape[1] == 4
+        t = jax.tree.map(lambda a: a[s], fleet.trees)
+        chain, i = [], int(best_node(t))
+        parent = np.asarray(t.parent)
+        while i != -1:
+            chain.append(i)
+            i = int(parent[i])
+        chain = chain[::-1]
+        xs = [np.asarray(t.state[chain[0]])[None]]
+        for k in range(1, len(chain)):
+            ln = int(np.asarray(t.edge_len[chain[k]]))
+            xs.append(np.asarray(t.edge_x[chain[k]])[:ln])
+        ref = np.concatenate(xs, 0)
+        np.testing.assert_allclose(plans[s], ref, atol=1e-6)
 
 
 def test_fleet_budget_clamp(prob):
