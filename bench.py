@@ -284,9 +284,8 @@ def bench_quality(names=("boat", "car", "quadrotor"), tpu_budget=1.0):
             horizon=prob["horizon"], dt=prob["dt"], goal0=prob["goal"],
             printing=False, batch_size=1024, capacity=4096,
             wrap_dims=prob["wrap_dims"], saturate=prob["saturate"], seed=7)
-        planner.update_plan(prob["x0"], prob["sample_space"],
-                            goal_bias=list(bias), specific_time=0.05,
-                            pruning=False)  # warm compile, untimed
+        planner.warmup(prob["x0"], prob["sample_space"],
+                       goal_bias=list(bias), pruning=False)  # untimed
         ratios, go, gt = [], 0, 0
         for seed in seeds.get(name, (7,)):
             reached_o, stats_o, _ = orc.plan(
