@@ -33,7 +33,12 @@ import jax.numpy as jnp
 
 Array = jnp.ndarray
 
-_SIGN_ITERS = 30  # quadratic convergence: fp32 machine-eps in ~8-12 iters; margin for stiff systems
+# Quadratic convergence reaches fp32 machine-eps in ~8-12 iterations with
+# determinant scaling; 16 keeps margin for stiff systems while halving the
+# cost of the occasional pessimized-executable compiler draw this program
+# can hit on the axon backend (observed: the same HLO nondeterministically
+# compiles to a ~400 ms or ~0.05 ms executable at batch 1024).
+_SIGN_ITERS = 16
 
 
 def _highest_precision(fn):
