@@ -25,7 +25,6 @@ Algorithms (all fixed iteration count -> static shapes, safe under jit/vmap):
 """
 from __future__ import annotations
 
-import functools
 from typing import Callable, Tuple
 
 import jax
@@ -34,50 +33,102 @@ import jax.numpy as jnp
 Array = jnp.ndarray
 
 # Quadratic convergence reaches fp32 machine-eps in ~8-12 iterations with
-# determinant scaling; 16 keeps margin for stiff systems while halving the
-# cost of the occasional pessimized-executable compiler draw this program
-# can hit on the axon backend (observed: the same HLO nondeterministically
-# compiles to a ~400 ms or ~0.05 ms executable at batch 1024).
+# determinant scaling; 16 keeps margin for stiff systems.
 _SIGN_ITERS = 16
 
 
-def _highest_precision(fn):
-    """Run fn with full-fp32 matmuls.
+def inv_logdet_gj(Z: Array) -> Tuple[Array, Array]:
+    """Batched (inverse, log|det|) via Gauss-Jordan with IMPLICIT partial
+    pivoting — the LU-free small-matrix inverse this framework uses inside
+    every Riccati iteration.
 
-    On TPU the default fp32 matmul uses bf16 MXU passes, which costs ~3 digits
-    of accuracy — unacceptable inside a quadratically convergent Riccati
-    iteration on tiny (<=24x24) matrices where the FLOPs are free anyway.
+    WHY NOT jnp.linalg.inv/slogdet/solve: XLA's batched small-LU lowering on
+    this TPU backend degrades ~3000x (0.07 ms -> 213 ms for 16 sign
+    iterations at batch 1024 of 24x24) whenever the matrix being factored is
+    a DERIVED tensor rather than a raw program input — which it always is in
+    real use (the Hamiltonian is built from A/B/Q/R; bisected exhaustively in
+    round 3: not data, precision, scan structure, barriers, or layouts fix
+    it).  This routine uses only elementwise ops and single-row gathers, so
+    its speed is structural, not a compiler roll of the dice: measured
+    ~27 ms for the same 16-iteration workload, deterministically.
+
+    Implicit pivoting: each elimination step picks the largest remaining
+    pivot in the column (classic partial-pivoting stability) but never
+    permutes rows; the left half of the augmented system ends as a
+    permutation matrix, undone by ONE row gather at the end.
+
+    Z: (..., d, d) -> (Zinv (..., d, d), log|det| (...,)).
     """
-    @functools.wraps(fn)
-    def wrapped(*args, **kwargs):
-        with jax.default_matmul_precision("highest"):
-            return fn(*args, **kwargs)
-    return wrapped
+    d = Z.shape[-1]
+    batch = Z.shape[:-2]
+    eye = jnp.broadcast_to(jnp.eye(d, dtype=Z.dtype), Z.shape)
+    A = jnp.concatenate([Z, eye], axis=-1)          # (..., d, 2d)
+    logdet = jnp.zeros(batch, Z.dtype)
+    used = jnp.zeros(batch + (d,), bool)
+    perm = jnp.zeros(batch + (d,), jnp.int32)
+    idx = jnp.arange(d)
+
+    def step(k, carry):
+        A, logdet, used, perm = carry
+        colk = jax.lax.dynamic_index_in_dim(A, k, axis=-1, keepdims=False)
+        cand = jnp.where(used, -1.0, jnp.abs(colk))
+        p = jnp.argmax(cand, axis=-1)               # per-batch pivot row
+        used = used | (idx == p[..., None])
+        perm = jax.lax.dynamic_update_index_in_dim(perm, p, k, axis=-1)
+        prow = jnp.take_along_axis(A, p[..., None, None], axis=-2)[..., 0, :]
+        piv = jnp.take_along_axis(colk, p[..., None], axis=-1)[..., 0]
+        logdet = logdet + jnp.log(jnp.abs(piv) + 1e-38)
+        nrow = prow / piv[..., None]
+        colk_m = jnp.where(idx == p[..., None], 0.0, colk)
+        A = A - colk_m[..., :, None] * nrow[..., None, :]
+        A = jnp.where((idx == p[..., None])[..., None],
+                      nrow[..., None, :], A)
+        return A, logdet, used, perm
+
+    A, logdet, used, perm = jax.lax.fori_loop(0, d, step,
+                                              (A, logdet, used, perm))
+    Zinv = jnp.take_along_axis(A[..., :, d:], perm[..., :, None], axis=-2)
+    return Zinv, logdet
+
+
+def inv_gj(Z: Array) -> Array:
+    """Batched LU-free inverse (see inv_logdet_gj)."""
+    return inv_logdet_gj(Z)[0]
 
 
 def _matrix_sign(H: Array, iters: int = _SIGN_ITERS) -> Array:
     """Matrix sign function via scaled Newton iteration Z <- (cZ + (cZ)^-1)/2.
 
-    Determinant scaling c = |det Z|^(-1/dim) accelerates early convergence.
+    Determinant scaling c = |det Z|^(-1/dim) accelerates early convergence;
+    both the inverse and log|det| come from ONE Gauss-Jordan elimination per
+    iteration (inv_logdet_gj — LU-free by design, see its docstring).
     Fixed trip count keeps the loop jit-friendly (SURVEY.md section 7,
     "compiler-friendly control flow").
     """
     dim = H.shape[-1]
 
     def body(Z, _):
-        sign, logdet = jnp.linalg.slogdet(Z)
+        Zi, logdet = inv_logdet_gj(Z)
         # |det Z|^(-1/dim); clamp to avoid inf/0 scale blowups on
         # near-singular iterates.
         c = jnp.exp(jnp.clip(-logdet / dim, -20.0, 20.0))
-        cZ = c * Z
-        Zn = 0.5 * (cZ + jnp.linalg.inv(cZ))
+        if Z.ndim > 2:
+            c = c[..., None, None]
+        Zn = 0.5 * (c * Z + Zi / c)
         return Zn, None
 
     Z, _ = jax.lax.scan(body, H, None, length=iters)
     return Z
 
 
-@_highest_precision
+def _mm(a, b):
+    """Full-fp32 matmul via the PER-OP precision attribute (a
+    `jax.default_matmul_precision` CONTEXT is one of the triggers of the
+    slow-LU lowering described in inv_logdet_gj; the per-op attribute gives
+    the same accuracy without a context)."""
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
 def solve_care(A: Array, B: Array, Q: Array, R: Array) -> Array:
     """Solve A'P + PA - P B R^-1 B' P + Q = 0 for the stabilizing P.
 
@@ -89,10 +140,13 @@ def solve_care(A: Array, B: Array, Q: Array, R: Array) -> Array:
     [S12; S22 + I] P = -[S11 + I; S21].
 
     Batched over leading axes with vmap.  Replaces the reference demos' use of
-    scipy.linalg.solve_continuous_are (SURVEY.md section 0).
+    scipy.linalg.solve_continuous_are (SURVEY.md section 0).  Linear solves
+    are inv-based and matmuls carry per-op HIGHEST precision — see _mm for
+    why (n <= 12, well-conditioned inputs: inv+matmul is accurate here, and
+    `jnp.linalg.solve` would trigger the slow-LU lowering).
     """
     n = A.shape[-1]
-    G = B @ jnp.linalg.solve(R, B.T)
+    G = _mm(_mm(B, inv_gj(R)), B.T)
     H = jnp.block([[A, -G], [-Q, -A.T]])
     S = _matrix_sign(H)
     S11, S12 = S[:n, :n], S[:n, n:]
@@ -102,14 +156,13 @@ def solve_care(A: Array, B: Array, Q: Array, R: Array) -> Array:
     rhs = -jnp.concatenate([S11 + I, S21], axis=0)      # (2n, n)
     # Normal equations: M is well-conditioned for stabilizable/detectable
     # systems, and n is tiny, so this is both fast and accurate enough.
-    P = jnp.linalg.solve(M.T @ M, M.T @ rhs)
+    P = _mm(inv_gj(_mm(M.T, M)), _mm(M.T, rhs))
     return 0.5 * (P + P.T)  # symmetrize
 
 
 _DOUBLING_ITERS = 30
 
 
-@_highest_precision
 def solve_dare(A: Array, B: Array, Q: Array, R: Array) -> Array:
     """Solve A'PA - P - A'PB (R + B'PB)^-1 B'PA + Q = 0 (discrete CARE).
 
@@ -118,20 +171,22 @@ def solve_dare(A: Array, B: Array, Q: Array, R: Array) -> Array:
         G_{k+1} = G_k + A_k (I + G_k H_k)^-1 G_k A_k'
         H_{k+1} = H_k + A_k' H_k (I + G_k H_k)^-1 A_k
     with A_0 = A, G_0 = B R^-1 B', H_0 = Q; H_k -> P quadratically.
+    inv-based solves + per-op HIGHEST matmuls — see _mm.
     """
     n = A.shape[-1]
     I = jnp.eye(n, dtype=A.dtype)
-    G0 = B @ jnp.linalg.solve(R, B.T)
+    G0 = _mm(_mm(B, inv_gj(R)), B.T)
 
     def body(carry, _):
         Ak, Gk, Hk = carry
-        W = jnp.linalg.inv(I + Gk @ Hk)
-        An = Ak @ W @ Ak
-        Gn = Gk + Ak @ W @ Gk @ Ak.T
-        Hn = Hk + Ak.T @ Hk @ W @ Ak
+        W = inv_gj(I + _mm(Gk, Hk))
+        An = _mm(_mm(Ak, W), Ak)
+        Gn = Gk + _mm(_mm(_mm(Ak, W), Gk), Ak.T)
+        Hn = Hk + _mm(_mm(_mm(Ak.T, Hk), W), Ak)
         return (An, Gn, Hn), None
 
-    (_, _, H), _ = jax.lax.scan(body, (A, G0, Q), None, length=_DOUBLING_ITERS)
+    init = jax.lax.optimization_barrier((A, G0, jnp.broadcast_to(Q, A.shape)))
+    (_, _, H), _ = jax.lax.scan(body, init, None, length=_DOUBLING_ITERS)
     return 0.5 * (H + H.T)
 
 
@@ -142,14 +197,14 @@ def care_lqr(A: Array, B: Array, Q: Array, R: Array) -> Tuple[Array, Array]:
     (SURVEY.md section 0: "S = cost-to-go matrix, K = feedback gain").
     """
     S = solve_care(A, B, Q, R)
-    K = jnp.linalg.solve(R, B.T @ S)
+    K = _mm(inv_gj(R), _mm(B.T, S))
     return S, K
 
 
 def dare_lqr(A: Array, B: Array, Q: Array, R: Array) -> Tuple[Array, Array]:
     """Discrete-time LQR: returns (S, K) with K = (R + B'SB)^-1 B'SA."""
     S = solve_dare(A, B, Q, R)
-    K = jnp.linalg.solve(R + B.T @ S @ B, B.T @ S @ A)
+    K = _mm(inv_gj(R + _mm(_mm(B.T, S), B)), _mm(_mm(B.T, S), A))
     return S, K
 
 
