@@ -78,6 +78,13 @@ def inv_logdet_gj(Z: Array) -> Tuple[Array, Array]:
         prow = jnp.take_along_axis(A, p[..., None, None], axis=-2)[..., 0, :]
         piv = jnp.take_along_axis(colk, p[..., None], axis=-1)[..., 0]
         logdet = logdet + jnp.log(jnp.abs(piv) + 1e-38)
+        # Singular-input guard (mirrors the 1e-38 logdet floor): an exactly
+        # singular Z would divide by 0 here and propagate silent NaN/Inf
+        # through solve_care/solve_dare; flooring the pivot magnitude keeps
+        # the result finite-but-large, detectable with jnp.isfinite by
+        # callers handing in untrusted (e.g. degenerate-R) inputs.
+        piv = jnp.where(jnp.abs(piv) < 1e-30,
+                        jnp.where(piv < 0, -1e-30, 1e-30), piv)
         nrow = prow / piv[..., None]
         colk_m = jnp.where(idx == p[..., None], 0.0, colk)
         A = A - colk_m[..., :, None] * nrow[..., None, :]
@@ -144,6 +151,12 @@ def solve_care(A: Array, B: Array, Q: Array, R: Array) -> Array:
     are inv-based and matmuls carry per-op HIGHEST precision — see _mm for
     why (n <= 12, well-conditioned inputs: inv+matmul is accurate here, and
     `jnp.linalg.solve` would trigger the slow-LU lowering).
+
+    R must be nonsingular and (A, B) stabilizable / (A, Q) detectable —
+    the standard CARE requirements.  Degenerate inputs return finite-but-
+    meaningless values (the Gauss-Jordan pivot is magnitude-floored, never
+    NaN/Inf); validate with jnp.isfinite + a residual check if inputs are
+    untrusted.
     """
     n = A.shape[-1]
     G = _mm(_mm(B, inv_gj(R)), B.T)

@@ -174,6 +174,15 @@ class FleetPlanner:
             trees = jax.tree.map(lambda x: jax.device_put(x, sh), trees)
             data = jax.tree.map(lambda x: jax.device_put(x, sh), data)
         self._key, base = jax.random.split(self._key)
+        if max_time is not None:
+            # Compile (and warm) _vplan OUTSIDE the timed budget: a cold
+            # plan() otherwise pays trace+compile inside the first timed
+            # chunk and can overshoot max_time arbitrarily (round-3 advisor
+            # medium finding).  nr=0 runs the full compiled program as a
+            # no-op fori_loop, leaving the seeded trees unchanged.
+            trees = self._vplan(trees, base, jnp.asarray(0, jnp.int32),
+                                goals, sample_spaces, goal_bias, data)
+            trees.size.block_until_ready()
         t0 = self.sys_time()
         goal_time = np.full(S_, np.nan, np.float32)
         if max_time is None:
@@ -192,7 +201,13 @@ class FleetPlanner:
                 if remaining_s <= 0:
                     break
                 nr = min(rounds_per_chunk, rounds - done)
-                if per_round_s is not None:
+                if per_round_s is None:
+                    # 1-round probing chunk: with no wall-s/round estimate
+                    # yet, a blind rounds_per_chunk dispatch is the one way
+                    # left to overshoot a short budget; the probe bounds the
+                    # first chunk's overshoot to a single round.
+                    nr = 1
+                else:
                     # clamp the last chunk to what the budget can afford
                     afford = max(int(remaining_s / per_round_s), 1)
                     nr = min(nr, afford)
@@ -276,11 +291,33 @@ class FleetPlanner:
         scenarios = (range(self.n_scenarios) if scenarios is None
                      else list(scenarios))
         chains = np.asarray(self._get_chains_jit()(self.trees))  # (S, D)
+        # Per-scenario root-first id chains.  The fixed-depth device walk
+        # covers depth <= _MAX_DEPTH; any deeper chain is finished with a
+        # host parent walk (rare — only very deep trees), so plans of ANY
+        # depth extract correctly (round-3 advisor: the old bare assert
+        # raised, or silently truncated under -O).
+        id_lists = {}
+        for s in scenarios:
+            ids = [int(i) for i in chains[s] if i >= 0]
+            if ids[0] != 0:
+                parent = np.asarray(self.trees.parent[s])
+                cur = int(parent[ids[0]])
+                guard = 0
+                while cur != -1:
+                    ids.insert(0, cur)
+                    cur = int(parent[cur])
+                    guard += 1
+                    if guard > parent.shape[0]:
+                        raise RuntimeError(
+                            f"scenario {s}: parent cycle during extraction")
+                if ids[0] != 0:
+                    raise RuntimeError(
+                        f"scenario {s}: chain does not reach the root")
+            id_lists[s] = ids
         pairs = []                          # flat (scenario, node-id) rows
         for s in scenarios:
-            for i in chains[s]:
-                if i >= 0:
-                    pairs.append((s, i))
+            for i in id_lists[s]:
+                pairs.append((s, i))
         pairs = np.asarray(pairs, np.int32)
         if getattr(self, "_gather_jit", None) is None:
             self._gather_jit = jax.jit(lambda t, si: (
@@ -292,10 +329,7 @@ class FleetPlanner:
         out = {}
         k = 0
         for s in scenarios:
-            ids = chains[s][chains[s] >= 0]
-            assert ids[0] == 0, (
-                f"scenario {s}: chain deeper than _MAX_DEPTH="
-                f"{self._MAX_DEPTH} (root not reached)")
+            ids = id_lists[s]
             xs = [states[k][None]]          # root state
             for j in range(1, len(ids)):
                 xs.append(edge_x[k + j][: int(edge_len[k + j])])

@@ -199,6 +199,19 @@ class Planner:
         # mechanism costs zero recompiles and is inert until an incumbent
         # exists (fraction 0.0).  Ignored when the caller passes xrand_gen.
         self.informed = float(informed)
+        # informed_anneal < 1.0 shrinks the corridor-noise scale each time a
+        # better incumbent lands.  Measured on the boat it HURTS (17.20 s vs
+        # 16.90 s at 15 chunks — annealing kills the diversity that digs
+        # below the restart plateau; tools/exp_informed.py), so the knob is
+        # deprecated-in-place: default 1.0 is a no-op and any other value
+        # warns.
+        if informed_anneal != 1.0:
+            import warnings
+            warnings.warn(
+                "informed_anneal != 1.0 measurably degrades anytime plan "
+                "quality (see tools/exp_informed.py); keep the default 1.0 "
+                "unless you have measured otherwise on your workload",
+                stacklevel=2)
         self.informed_anneal = float(informed_anneal)
 
         self._key = jax.random.PRNGKey(seed)
@@ -391,6 +404,16 @@ class Planner:
                 scale = (sample_space[:, 1] - sample_space[:, 0]) * inf_scale
                 noisy = inf_pool[r] + jax.random.normal(
                     k3, fresh.shape) * scale
+                # honor the sampler's bounds contract: wrap angle dims, clip
+                # the rest into sample_space (round-3 advisor: unclipped
+                # noise wastes a fraction of every batch on out-of-box
+                # targets)
+                if wrap_mask is not None:
+                    from .ops.angles import wrap_angle
+                    noisy = jnp.where(jnp.asarray(wrap_mask),
+                                      wrap_angle(noisy), noisy)
+                noisy = jnp.clip(noisy, sample_space[:, 0],
+                                 sample_space[:, 1])
                 take = jnp.arange(B) < inf_frac * B
                 return jnp.where(take[:, None], noisy, fresh)
 
@@ -508,6 +531,13 @@ class Planner:
                 scale = (sample_space[:, 1] - sample_space[:, 0]) * inf_scale
                 noisy = inf_pool[r] + jax.random.normal(
                     k3, fresh.shape) * scale
+                wm = common.get("wrap_mask")
+                if wm is not None:
+                    from .ops.angles import wrap_angle
+                    noisy = jnp.where(jnp.asarray(wm), wrap_angle(noisy),
+                                      noisy)
+                noisy = jnp.clip(noisy, sample_space[:, 0],
+                                 sample_space[:, 1])
                 take = jnp.arange(B) < inf_frac * B
                 return jnp.where(take[:, None], noisy, fresh)
 
