@@ -39,7 +39,9 @@ def commit_batch(tree: TreeArrays, dt: float, pids, length, x_seq, u_seq,
     "if rollout nonempty: tree.add_node", SURVEY.md section 3.2).
 
     Candidates that would overflow capacity are dropped via scatter-drop
-    indexing; ``size`` saturates at capacity.  All inputs are batch-leading.
+    indexing; ``size`` saturates at capacity.  Per-candidate inputs are
+    batch-leading; x_seq/u_seq are TIME-MAJOR (H, ·, B) matching the tree's
+    edge storage (core/tree.py).
     """
     N = tree.capacity
     valid = length >= 1
@@ -58,8 +60,8 @@ def commit_batch(tree: TreeArrays, dt: float, pids, length, x_seq, u_seq,
         S=tree.S.at[slot].set(S_new, **drop),
         K=tree.K.at[slot].set(K_new, **drop),
         parent=tree.parent.at[slot].set(pids.astype(jnp.int32), **drop),
-        edge_x=tree.edge_x.at[slot].set(x_seq, **drop),
-        edge_u=tree.edge_u.at[slot].set(u_seq, **drop),
+        edge_x=tree.edge_x.at[:, :, slot].set(x_seq, **drop),
+        edge_u=tree.edge_u.at[:, :, slot].set(u_seq, **drop),
         edge_len=tree.edge_len.at[slot].set(length, **drop),
         node_time=tree.node_time.at[slot].set(node_time, **drop),
         in_goal=tree.in_goal.at[slot].set(in_goal, **drop),
@@ -93,6 +95,11 @@ def commit_batch_dense(tree: TreeArrays, dt: float, limit: int, pids, length,
         idx = (start,) + (jnp.asarray(0, jnp.int32),) * (a.ndim - 1)
         return jax.lax.dynamic_update_slice(a, block, idx)
 
+    def dus_tm(a, block):
+        # time-major edge arrays: the node axis is MINOR (core/tree.py)
+        zero = jnp.asarray(0, jnp.int32)
+        return jax.lax.dynamic_update_slice(a, block, (zero, zero, start))
+
     new_size = jnp.minimum(tree.size + n_valid,
                            jnp.asarray(limit, jnp.int32))
     # child counting is the one scatter left: a 1-int-per-row add (cheap next
@@ -104,8 +111,8 @@ def commit_batch_dense(tree: TreeArrays, dt: float, limit: int, pids, length,
         S=dus(tree.S, S_new[order]),
         K=dus(tree.K, K_new[order]),
         parent=dus(tree.parent, pids_s),
-        edge_x=dus(tree.edge_x, x_seq[order]),
-        edge_u=dus(tree.edge_u, u_seq[order]),
+        edge_x=dus_tm(tree.edge_x, x_seq[:, :, order]),
+        edge_u=dus_tm(tree.edge_u, u_seq[:, :, order]),
         edge_len=dus(tree.edge_len, length_s),
         node_time=dus(tree.node_time, node_time),
         in_goal=dus(tree.in_goal, in_goal_s),
@@ -113,6 +120,61 @@ def commit_batch_dense(tree: TreeArrays, dt: float, limit: int, pids, length,
         n_children=tree.n_children.at[pid_slot].add(1, mode="drop"),
         size=new_size,
         goal_found=tree.goal_found | jnp.any(in_goal_s & committed),
+    )
+
+
+def commit_batch_dense_all(tree: TreeArrays, dt: float, limit: int, pids,
+                           length, x_seq, u_seq, xnew, S_new, K_new, in_goal,
+                           gcost) -> TreeArrays:
+    """Sort-free, gather-free dense commit: ALL B candidate rows (empty
+    rollouts included) land contiguously at row ``size``, one
+    dynamic_update_slice per array, in raw batch order.
+
+    An empty-rollout row (length == 0) is a zero-length-edge DUPLICATE of
+    its parent: the steer never committed a step, so xnew is the parent's
+    state and (S, K) the parent's policy re-solved at the same point.  Such
+    rows are semantically inert — the NN metric scores them identically to
+    the parent (steering from either is the same computation), extraction
+    contributes zero steps for a zero-length edge, in_goal is masked false,
+    and they are excluded from the parent's child count — at the price of
+    occupying one capacity row each.  In exchange the hot path drops the
+    valid-first argsort and the ~30 MB of reorder gathers on the edge
+    arrays that commit_batch_dense pays every round (VERDICT r3 item 1).
+    """
+    B = pids.shape[0]
+    N = tree.state.shape[0]
+    valid = length >= 1
+    start = jnp.minimum(tree.size, jnp.asarray(limit, jnp.int32))
+    rank = jnp.arange(B, dtype=jnp.int32)
+    committed = start + rank < limit
+    pids_i = pids.astype(jnp.int32)
+    node_time = tree.node_time[pids_i] + length.astype(jnp.float32) * dt
+    in_goal_c = in_goal & valid
+
+    def dus(a, block):
+        idx = (start,) + (jnp.asarray(0, jnp.int32),) * (a.ndim - 1)
+        return jax.lax.dynamic_update_slice(a, block, idx)
+
+    def dus_tm(a, block):
+        zero = jnp.asarray(0, jnp.int32)
+        return jax.lax.dynamic_update_slice(a, block, (zero, zero, start))
+
+    new_size = jnp.minimum(tree.size + B, jnp.asarray(limit, jnp.int32))
+    pid_slot = jnp.where(committed & valid, pids_i, N)
+    return tree._replace(
+        state=dus(tree.state, xnew),
+        S=dus(tree.S, S_new),
+        K=dus(tree.K, K_new),
+        parent=dus(tree.parent, pids_i),
+        edge_x=dus_tm(tree.edge_x, x_seq),
+        edge_u=dus_tm(tree.edge_u, u_seq),
+        edge_len=dus(tree.edge_len, length),
+        node_time=dus(tree.node_time, node_time),
+        in_goal=dus(tree.in_goal, in_goal_c),
+        goal_cost=dus(tree.goal_cost, gcost),
+        n_children=tree.n_children.at[pid_slot].add(1, mode="drop"),
+        size=new_size,
+        goal_found=tree.goal_found | jnp.any(in_goal_c & committed),
     )
 
 
@@ -178,8 +240,8 @@ def commit_batch_refine(tree: TreeArrays, dt: float, limit: int, pids, length,
         S=tree.S.at[slot].set(S_new[c_order], **drop),
         K=tree.K.at[slot].set(K_new[c_order], **drop),
         parent=tree.parent.at[slot].set(pids_s, **drop),
-        edge_x=tree.edge_x.at[slot].set(x_seq[c_order], **drop),
-        edge_u=tree.edge_u.at[slot].set(u_seq[c_order], **drop),
+        edge_x=tree.edge_x.at[:, :, slot].set(x_seq[:, :, c_order], **drop),
+        edge_u=tree.edge_u.at[:, :, slot].set(u_seq[:, :, c_order], **drop),
         edge_len=tree.edge_len.at[slot].set(length_s, **drop),
         node_time=tree.node_time.at[slot].set(t_new_s, **drop),
         in_goal=tree.in_goal.at[slot].set(in_goal_s, **drop),

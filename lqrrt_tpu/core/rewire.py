@@ -131,7 +131,7 @@ def make_rewire(spec, dynamics: Callable, lqr: Callable, erf: Callable,
     del lqr
     dt = spec.dt
     steer = make_steer(dynamics, erf, is_feasible, spec.horizon_steps, dt,
-                       error_tol, saturate=saturate)
+                       error_tol, saturate=saturate, layout="tm")
     nearest = make_nearest_pred(erf, block=min(spec.nn_block, spec.capacity))
 
     def rewire(tree: TreeArrays, key) -> TreeArrays:
@@ -159,10 +159,11 @@ def make_rewire(spec, dynamics: Callable, lqr: Callable, erf: Callable,
         improve = (res.reached & valid_t & (res.length >= 1)
                    & (t_new < time_t - _EPS_IMPROVE))
 
-        x_seq = res.x_seq
+        x_seq = res.x_seq                            # (H, n, B) time-major
         if wrap_mask is not None:
             from ..ops.angles import wrap_angle
-            x_seq = jnp.where(wrap_mask, wrap_angle(x_seq), x_seq)
+            x_seq = jnp.where(jnp.asarray(wrap_mask)[None, :, None],
+                              wrap_angle(x_seq), x_seq)
 
         slot = jnp.where(improve, t_idx, N).astype(i32)  # N => dropped
         drop = dict(mode="drop")
@@ -173,8 +174,8 @@ def make_rewire(spec, dynamics: Callable, lqr: Callable, erf: Callable,
                       .at[new_p].add(1, **drop))
         tree = tree._replace(
             parent=tree.parent.at[slot].set(src.astype(i32), **drop),
-            edge_x=tree.edge_x.at[slot].set(x_seq, **drop),
-            edge_u=tree.edge_u.at[slot].set(res.u_seq, **drop),
+            edge_x=tree.edge_x.at[:, :, slot].set(x_seq, **drop),
+            edge_u=tree.edge_u.at[:, :, slot].set(res.u_seq, **drop),
             edge_len=tree.edge_len.at[slot].set(res.length, **drop),
             n_children=n_children)
 

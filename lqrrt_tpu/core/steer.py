@@ -35,7 +35,7 @@ class SteerResult(NamedTuple):
 def make_steer(dynamics: Callable, erf: Callable, is_feasible: Callable,
                horizon_steps: int, dt: float, error_tol,
                saturate: Callable | None = None, unroll: int = 4,
-               goal_buffer=None) -> Callable:
+               goal_buffer=None, layout: str = "b") -> Callable:
     """Build steer(x0, K, xtar) vmapped over the leading batch axis.
 
     ``error_tol`` may be a scalar (2-norm threshold, the reference default
@@ -60,11 +60,32 @@ def make_steer(dynamics: Callable, erf: Callable, is_feasible: Callable,
     in-goal test is fused into the scan carry — one extra erf per step —
     instead of a second (B, H, n) sweep over the materialized rollout, which
     cost ~20% of round throughput in round 2 (VERDICT round 2 weak #3).
+
+    ``layout`` selects the scan-carry layout and output convention:
+
+    * "b"  — batch-leading (B, n) carry, vmapped scan, SteerResult fields
+      batch-leading (B, H, ·).  The original form; public default.
+    * "bt" — batch-TRAILING (n, B) carry, outputs transposed back to the
+      (B, H, ·) contract.
+    * "tm" — batch-trailing carry AND raw TIME-MAJOR outputs: x_seq
+      (H, n, B), u_seq (H, m, B), mask (H, B); per-candidate fields (length,
+      xnew, reached, in_goal) stay batch-leading.  This is the production
+      round's layout: the scan stacks its outputs time-major natively, and
+      handing them out unchanged avoids the (H, n, B) -> (B, H, n)
+      transpose, measured at 1.3 ms per round at the bench operating point
+      — half the steer phase (tools/exp_layout_micro.py, round 4).  Matches
+      the time-major tree edge storage (core/tree.py).
     """
+    if layout not in ("b", "bt", "tm"):
+        raise ValueError(f"unknown steer layout {layout!r}")
     tol = jnp.asarray(error_tol, jnp.float32)
     per_dim = tol.ndim > 0
     gbuf = None if goal_buffer is None else jnp.asarray(goal_buffer,
                                                         jnp.float32)
+    if layout in ("bt", "tm"):
+        return _make_steer_bt(dynamics, erf, is_feasible, horizon_steps, dt,
+                              tol, per_dim, saturate, unroll, gbuf,
+                              time_major_out=(layout == "tm"))
 
     def converged(e):
         if per_dim:
@@ -104,3 +125,73 @@ def make_steer(dynamics: Callable, erf: Callable, is_feasible: Callable,
     if gbuf is None:
         return jax.vmap(steer_one)
     return jax.vmap(steer_one, in_axes=(0, 0, 0, None))
+
+
+def _make_steer_bt(dynamics, erf, is_feasible, horizon_steps, dt, tol,
+                   per_dim, saturate, unroll, gbuf, time_major_out=False):
+    """Batch-trailing steer (see make_steer layout="bt"/"tm").
+
+    The user callbacks keep their per-vector (n,)/(m,) signatures; they are
+    vmapped over the TRAILING axis, so all scan-carry intermediates are
+    (n, B)/(m, B)/(B,) arrays — batch in the lane dimension.  The stacked
+    scan outputs come out time-leading (H, n, B)/(H, m, B) and are
+    transposed back once to the SteerResult (B, H, ·) contract — two bulk
+    relayouts per call instead of ~16x lane padding on every one of the
+    H * ~30 per-step ops.
+    """
+    dynT = jax.vmap(lambda x, u: dynamics(x, u, dt),
+                    in_axes=(-1, -1), out_axes=-1)
+    erfT = jax.vmap(erf, in_axes=(-1, -1), out_axes=-1)
+    feasT = jax.vmap(is_feasible, in_axes=(-1, -1))
+    satT = None if saturate is None else jax.vmap(saturate, in_axes=-1,
+                                                  out_axes=-1)
+    erfgT = None if gbuf is None else jax.vmap(erf, in_axes=(None, -1),
+                                               out_axes=-1)
+
+    def converged(e):                       # e: (n, B) -> (B,)
+        if per_dim:
+            return jnp.all(jnp.abs(e) <= tol[:, None], axis=0)
+        return jnp.sqrt(jnp.sum(e * e, axis=0)) <= tol
+
+    def steer(x0, K, xtar, goal=None):
+        B = x0.shape[0]
+        xT = x0.T                           # (n, B)
+        tarT = xtar.T
+        KT = jnp.transpose(K, (1, 2, 0))    # (m, n, B)
+
+        def step(carry, _):
+            x, done, length, hit_seen = carry
+            e = erfT(tarT, x)               # (n, B)
+            arrived = converged(e)
+            u = jnp.einsum("mnb,nb->mb", KT, e)
+            if satT is not None:
+                u = satT(u)
+            xn = dynT(x, u)
+            feas = feasT(xn, u)
+            commit = jnp.logical_and(
+                jnp.logical_not(done),
+                jnp.logical_and(jnp.logical_not(arrived), feas))
+            x_out = jnp.where(commit[None, :], xn, x)
+            length = length + commit.astype(jnp.int32)
+            done = done | arrived | jnp.logical_not(feas)
+            if gbuf is not None:
+                hit = commit & jnp.all(
+                    jnp.abs(erfgT(goal, xn)) <= gbuf[:, None], axis=0)
+                hit_seen = hit_seen | hit
+                done = done | hit
+            return (x_out, done, length, hit_seen), (x_out, u, commit)
+
+        init = (xT, jnp.zeros(B, bool), jnp.zeros(B, jnp.int32),
+                jnp.zeros(B, bool))
+        (xf, _, length, hit_seen), (xs, us, mask) = jax.lax.scan(
+            step, init, None, length=horizon_steps,
+            unroll=min(unroll, horizon_steps))
+        reached = converged(erfT(tarT, xf))
+        if time_major_out:
+            return SteerResult(xs, us, mask, length, xf.T, reached, hit_seen)
+        x_seq = jnp.transpose(xs, (2, 0, 1))   # (H, n, B) -> (B, H, n)
+        u_seq = jnp.transpose(us, (2, 0, 1))
+        return SteerResult(x_seq, u_seq, mask.T, length, xf.T, reached,
+                           hit_seen)
+
+    return steer

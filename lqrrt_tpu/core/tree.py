@@ -24,8 +24,14 @@ class TreeArrays(NamedTuple):
     S: jnp.ndarray          # (N, n, n)  per-node LQR cost-to-go (NN metric)
     K: jnp.ndarray          # (N, m, n)  per-node LQR feedback gain
     parent: jnp.ndarray     # (N,) int32, parent index; root = -1
-    edge_x: jnp.ndarray     # (N, H, n)  rollout states of the incoming edge
-    edge_u: jnp.ndarray     # (N, H, m)  rollout efforts of the incoming edge
+    # Edge rollouts are stored TIME-MAJOR, node index minor: (H, n, N) /
+    # (H, m, N).  This matches the steer scan's natural (H, ·, B) output
+    # stacking, so a round's commit is a single lane-dim dynamic_update_slice
+    # with NO relayout — the (H, n, B) -> (B, H, n) transpose XLA otherwise
+    # inserts costs 1.3 ms per round at the bench operating point, ~20% of
+    # the whole round (round-4 measurement, tools/exp_layout_micro.py).
+    edge_x: jnp.ndarray     # (H, n, N)  rollout states of the incoming edge
+    edge_u: jnp.ndarray     # (H, m, N)  rollout efforts of the incoming edge
     edge_len: jnp.ndarray   # (N,) int32, valid steps of the incoming edge
     node_time: jnp.ndarray  # (N,) f32, trajectory duration root -> node
     in_goal: jnp.ndarray    # (N,) bool, node satisfies the goal box
@@ -57,8 +63,8 @@ def init_tree(capacity: int, horizon_steps: int, nstates: int, ncontrols: int,
         S=jnp.zeros((N, n, n), f32).at[0].set(S0),
         K=jnp.zeros((N, m, n), f32).at[0].set(K0),
         parent=jnp.full((N,), -1, i32),
-        edge_x=jnp.zeros((N, H, n), f32),
-        edge_u=jnp.zeros((N, H, m), f32),
+        edge_x=jnp.zeros((H, n, N), f32),
+        edge_u=jnp.zeros((H, m, N), f32),
         edge_len=jnp.zeros((N,), i32),
         node_time=jnp.zeros((N,), f32),
         in_goal=jnp.zeros((N,), bool).at[0].set(in_goal0),

@@ -320,8 +320,12 @@ class FleetPlanner:
                 pairs.append((s, i))
         pairs = np.asarray(pairs, np.int32)
         if getattr(self, "_gather_jit", None) is None:
+            # fleet trees are scenario-leading; edge storage per scenario is
+            # time-major (H, n, N) -> advanced indexing on (scenario, node)
+            # yields (P, H, n) directly
             self._gather_jit = jax.jit(lambda t, si: (
-                t.state[si[:, 0], si[:, 1]], t.edge_x[si[:, 0], si[:, 1]],
+                t.state[si[:, 0], si[:, 1]],
+                t.edge_x[si[:, 0], :, :, si[:, 1]],
                 t.edge_len[si[:, 0], si[:, 1]]))
         states, edge_x, edge_len = (
             np.asarray(a) for a in jax.device_get(

@@ -103,22 +103,25 @@ def make_grid_truncate(spec: RoundSpec, grid: ShardedGrid, lqr: Callable,
     pos_dims = tuple(int(d) for d in grid.pos_dims)
 
     def truncate(tree, c, slab, goal):
-        p = c.x_seq[..., pos_dims]                       # (B, H, 2)
+        # time-major rollouts: x_seq (H, n, B) -> positions (H, B, 2)
+        p = jnp.moveaxis(c.x_seq[:, pos_dims, :], 1, -1)
         shard_idx = jax.lax.axis_index(axis)
         local, oob = grid.occupied_local(p, slab[0], shard_idx)
         occupied = (jax.lax.psum(local.astype(jnp.int32), axis) > 0) | oob
 
         H = spec.horizon_steps
-        any_occ = jnp.any(occupied, axis=1)
-        first = jnp.where(any_occ, jnp.argmax(occupied, axis=1), H)
+        any_occ = jnp.any(occupied, axis=0)              # (B,)
+        first = jnp.where(any_occ, jnp.argmax(occupied, axis=0), H)
         length = jnp.minimum(c.length, first.astype(jnp.int32))
         x0 = tree.state[c.pids]
         last = jnp.maximum(length - 1, 0)
-        xland = jnp.take_along_axis(c.x_seq, last[:, None, None],
-                                    axis=1)[:, 0, :]
-        xnew = jnp.where((length >= 1)[:, None], xland, x0)
-        u_last = jnp.take_along_axis(c.u_seq, last[:, None, None],
-                                     axis=1)[:, 0, :]
+
+        def at_last(seq):                                # (H, d, B) -> (B, d)
+            idx = jnp.broadcast_to(last[None, None, :], (1,) + seq.shape[1:])
+            return jnp.take_along_axis(seq, idx, axis=0)[0].T
+
+        xnew = jnp.where((length >= 1)[:, None], at_last(c.x_seq), x0)
+        u_last = at_last(c.u_seq)
         S_new, K_new = lqr_batch(xnew, u_last)
         e_goal = erf_goal(goal, xnew)
         in_goal = jnp.all(jnp.abs(e_goal) <= goal_buffer, axis=-1)
@@ -219,8 +222,8 @@ def make_dp_map_round_body(
         # P3: map-axis collision reduction on the local candidate shard
         c = truncate(tree, c, slab, goal)
         # P2: candidate exchange over the dp axis, replicated commit
-        c_full = jax.tree.map(
-            lambda x: jax.lax.all_gather(x, dp_axis, axis=0, tiled=True), c)
+        from .sharded import gather_candidates
+        c_full = gather_candidates(c, dp_axis)
         commit = (commit_batch_dense if spec.slack >= spec.batch
                   else lambda t, dt, _lim, *a: commit_batch(t, dt, *a))
         return commit(tree, spec.dt, spec.capacity, c_full.pids,

@@ -49,6 +49,21 @@ except AttributeError:  # pragma: no cover
 
 _GOAL_SCORE_OFFSET = 1e9   # goal candidates rank below any cost-to-go score
 
+# Candidates fields whose candidate axis is the LAST one (time-major rollout
+# buffers, core/rounds.py Candidates); every other field is batch-leading.
+_TM_FIELDS = frozenset({"x_seq", "u_seq"})
+
+
+def gather_candidates(c: Candidates, axis) -> Candidates:
+    """all_gather a Candidates pytree over mesh ``axis``: batch-leading
+    fields tile on axis 0, the time-major rollout buffers on their trailing
+    candidate axis."""
+    def g(x, last):
+        return jax.lax.all_gather(x, axis, axis=(x.ndim - 1) if last else 0,
+                                  tiled=True)
+    return Candidates(**{f: g(getattr(c, f), f in _TM_FIELDS)
+                         for f in Candidates._fields})
+
 
 def mesh_axis_size(mesh: Mesh, axis) -> int:
     """Total device count over ``axis`` (one name or a tuple of names — the
@@ -140,9 +155,7 @@ def make_sharded_round_body(
 
         if collective == "gather":
             # best-edge exchange (P2): full candidate batch over ICI
-            cand_full = jax.tree.map(
-                lambda x: jax.lax.all_gather(x, axis, axis=0, tiled=True),
-                cand)
+            cand_full = gather_candidates(cand, axis)
             tree = commit_candidates(spec, tree, cand_full, mode=commit)
             return tree if rewire is None else rewire(tree, key_rw)
 
@@ -154,16 +167,22 @@ def make_sharded_round_body(
         lidx = jnp.where(owner == idx, gidx % local_b, 0)
         mine = owner == idx
 
-        def winner_rows(a):
-            rows = a[lidx]
-            mask = mine.reshape((topk,) + (1,) * (a.ndim - 1))
+        def winner_rows(a, cand_axis_last=False):
+            if cand_axis_last:
+                rows = a[..., lidx]
+                mask = mine.reshape((1,) * (a.ndim - 1) + (topk,))
+            else:
+                rows = a[lidx]
+                mask = mine.reshape((topk,) + (1,) * (a.ndim - 1))
             zero = jnp.zeros_like(rows)
             if a.dtype == jnp.bool_:
                 rows = jnp.where(mask, rows, zero).astype(jnp.int32)
                 return jax.lax.psum(rows, axis).astype(jnp.bool_)
             return jax.lax.psum(jnp.where(mask, rows, zero), axis)
 
-        winners = jax.tree.map(winner_rows, cand)
+        winners = Candidates(**{
+            f: winner_rows(getattr(cand, f), cand_axis_last=(f in _TM_FIELDS))
+            for f in Candidates._fields})
         # rows whose global score was inf (nothing feasible) carry length
         # from an arbitrary owner row: mask them out explicitly
         feas = jnp.take(score_all, gidx) < jnp.inf

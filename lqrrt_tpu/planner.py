@@ -52,19 +52,28 @@ _FINISH_BATCH = 8     # tiled batch for the terminal goal connection
 
 def _chunk_stats(tree):
     """Per-chunk stats vector, f32: [size, goal_found, best_goal_time,
-    best_goal_cost, best_id].  Carrying the restart-stash score inside the
-    chunk's one pipelined stats fetch means a restart needs ZERO extra
-    dispatches or fetches (the score used to be a separate jitted program +
-    device round trip per restart).  f32 holds ids/sizes exactly up to 2^24
-    — far above any practical capacity."""
+    best_goal_cost, best_id, n_live].  Carrying the restart-stash score
+    inside the chunk's one pipelined stats fetch means a restart needs ZERO
+    extra dispatches or fetches (the score used to be a separate jitted
+    program + device round trip per restart).  f32 holds ids/sizes exactly
+    up to 2^24 — far above any practical capacity.
+
+    ``n_live`` counts rows with a real incoming edge (plus the root): the
+    sort-free commit_all path stores empty-rollout candidates as inert
+    zero-length duplicates (core/commit.py commit_batch_dense_all), so
+    ``size`` counts committed rows while ``n_live`` is the honest node count
+    the stats report."""
     b = best_node(tree)
     f32 = jnp.float32
+    live = jnp.sum((tree.edge_len >= 1) & tree.valid_mask(),
+                   dtype=jnp.int32) + 1
     return jnp.stack([
         tree.size.astype(f32),
         tree.goal_found.astype(f32),
         jnp.where(tree.goal_found, tree.node_time[b], jnp.inf),
         tree.goal_cost[b],
-        b.astype(f32)])
+        b.astype(f32),
+        live.astype(f32)])
 
 
 class Planner:
@@ -352,11 +361,18 @@ class Planner:
         if key in self._chunk_cache:
             return self._chunk_cache[key]
 
+        # commit_all: the sort/gather-free dense commit (every candidate row
+        # lands; empty rollouts as inert zero-length duplicates) — saves the
+        # valid-first argsort + ~30 MB of reorder gathers per round, worth
+        # ~7% of round time at the bench operating point (exp_round_v4).
+        # ``size`` then counts committed rows; stats report the honest
+        # n_live from the chunk stats vector.
         spec = RoundSpec(
             nstates=self.nstates, ncontrols=self.ncontrols,
             batch=self.batch_size, horizon_steps=self.horizon_steps,
             capacity=self.capacity, dt=self.dt, nn_block=self.nn_block,
-            slack=self.slack)
+            slack=self.slack, commit_all=(commit == "grow"
+                                          and self.slack >= self.batch_size))
         wrap_mask = self._wrap_mask()
         nearest_fn = self._nearest_override()
         common = dict(wrap_mask=wrap_mask, saturate=self.saturate,
@@ -622,7 +638,9 @@ class Planner:
                 _, ids = jax.lax.scan(step, best.astype(jnp.int32), None,
                                       length=D)              # leaf-first
                 safe = jnp.clip(ids, 0, t.state.shape[0] - 1)
-                ex = t.edge_x[safe]                          # (D, H, n)
+                # time-major storage: gather on the node axis, then bring
+                # the chain axis up front (tiny: D*H rows)
+                ex = jnp.transpose(t.edge_x[:, :, safe], (2, 0, 1))  # (D,H,n)
                 el = t.edge_len[safe]
                 mask = ((jnp.arange(H)[None, :] < el[:, None])
                         & (ids >= 0)[:, None])
@@ -821,6 +839,7 @@ class Planner:
         # stats one chunk stale — the same anytime semantics at one-chunk
         # granularity (SURVEY.md section 3.4).
         pending = None
+        n_live = 1
         best_stash = None            # device tree carrying the best plan
         best_key, best_size = None, 1  # (0 if goal else 1, duration | gcost)
         pool_time = None             # incumbent time the informed pool holds
@@ -845,6 +864,7 @@ class Planner:
                 st = np.asarray(pending)
                 pending = None
                 size = int(st[0])
+                n_live = int(st[5])
                 goal_cur = bool(st[1] > 0.5)
                 key_cur = ((0, float(st[2])) if goal_cur
                            else (1, float(st[3])))
@@ -852,7 +872,7 @@ class Planner:
                 overall_goal |= goal_cur
                 improved = best_key is None or key_cur < best_key
                 if improved:
-                    best_stash, best_key, best_size = tree, key_cur, size
+                    best_stash, best_key, best_size = tree, key_cur, n_live
                 if (inf_slot is not None and improved and key_cur[0] == 0
                         and (pool_time is None
                              or key_cur[1] < pool_time - 0.05)):
@@ -889,11 +909,13 @@ class Planner:
             if pending is not None:
                 st = np.asarray(pending)     # one fetch, overlapped above
                 size, goal_found = int(st[0]), bool(st[1])
+                n_live = int(st[5])
             pending = stats
         key_fin = None
         if pending is not None:
             st = np.asarray(pending)         # final (current) stats
             size, goal_found = int(st[0]), bool(st[1] > 0.5)
+            n_live = int(st[5])
             key_fin = ((0, float(st[2])) if goal_found
                        else (1, float(st[3])))
         elapsed = self.sys_time() - t0
@@ -907,7 +929,7 @@ class Planner:
             if key_fin < best_key:
                 best_stash, best_key = tree, key_fin
             else:
-                tree, size = best_stash, best_size
+                tree, n_live = best_stash, best_size
         self._device_tree = tree
         self.tree = None  # host snapshot invalidated; rebuilt lazily
 
@@ -925,7 +947,7 @@ class Planner:
         self._plan = (x_seq, u_seq, self.dt * (len(x_seq) - 1))  # atomic swap
         self.plan_reached_goal = goal_reached
         self.stats = dict(
-            nodes=size, rounds=rounds, restarts=restarts,
+            nodes=n_live, tree_rows=size, rounds=rounds, restarts=restarts,
             elapsed_s=elapsed,
             expansions=rounds * self.batch_size,
             expansions_per_s=rounds * self.batch_size / max(elapsed, 1e-9),
@@ -933,7 +955,7 @@ class Planner:
             plan_duration_s=self.T,
             total_s=self.sys_time() - t0)
         if self.printing:
-            print(f"[lqrrt] done: {size} nodes, "
+            print(f"[lqrrt] done: {n_live} nodes, "
                   f"{rounds} rounds in {elapsed:.3f}s "
                   f"({self.stats['expansions_per_s']:.0f} expansions/s), "
                   f"goal={'yes' if goal_reached else 'no'}")
@@ -958,8 +980,12 @@ class Planner:
         # (separate per-array fetches pay a dispatch round trip each, which
         # dominates extraction latency on remotely-attached devices)
         if self._extract_jit is None:
+            # edge storage is time-major (H, ·, N): gather the chain on the
+            # node axis and transpose the small (C, H, ·) result on device
             self._extract_jit = jax.jit(lambda t, ids: (
-                t.state[ids], t.K[ids], t.edge_x[ids], t.edge_u[ids],
+                t.state[ids], t.K[ids],
+                jnp.transpose(t.edge_x[:, :, ids], (2, 0, 1)),
+                jnp.transpose(t.edge_u[:, :, ids], (2, 0, 1)),
                 t.edge_len[ids]))
         out = self._extract_jit(tree, jnp.asarray(chain, jnp.int32))
         states, gains, edge_x, edge_u, edge_len = (

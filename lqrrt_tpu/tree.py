@@ -73,11 +73,12 @@ class Tree:
         t.state = np.asarray(host.state[:size], np.float32).copy()
         t.lqr = [(host.S[i], host.K[i]) for i in range(size)]
         lens = [int(host.edge_len[i]) for i in range(size)]
+        # device edge storage is time-major (H, ·, N); slice per node
         t.x_seq = [t.state[:1].copy()] + [
-            np.asarray(host.edge_x[i][:lens[i]], np.float32)
+            np.asarray(host.edge_x[:lens[i], :, i], np.float32)
             for i in range(1, size)]
         t.u_seq = [np.zeros((0, 0), np.float32)] + [
-            np.asarray(host.edge_u[i][:lens[i]], np.float32)
+            np.asarray(host.edge_u[:lens[i], :, i], np.float32)
             for i in range(1, size)]
         t.pID = [-1] + [int(p) for p in host.parent[1:size]]
         t.size = size

@@ -21,8 +21,10 @@ import jax.numpy as jnp
 # corrupt the next one silently — VERDICT round 2 weak #9).  History:
 #   2 — pre-n_children layout (the 2->3 migration back-fills child counts)
 #   3 — adds tree_n_children
-_FORMAT = 3
-_COMPAT = (2, 3)   # formats load() accepts (older ones via migration)
+#   4 — edge arrays stored TIME-MAJOR (H, ., N) instead of (N, H, .)
+#       (core/tree.py round-4 relayout; 3->4 migration transposes)
+_FORMAT = 4
+_COMPAT = (2, 3, 4)   # formats load() accepts (older ones via migration)
 
 
 def save(planner, path: str, include_tree: bool = False):
@@ -80,6 +82,11 @@ def load(planner, path: str):
             from ..core.tree import TreeArrays
             kwargs = {k[len("tree_"):]: jnp.asarray(z[k])
                       for k in tree_fields}
+            if int(z["format"]) < 4:
+                # 3 -> 4 migration: edge arrays were row-major (N, H, .);
+                # current storage is time-major (H, ., N)
+                for f in ("edge_x", "edge_u"):
+                    kwargs[f] = jnp.transpose(kwargs[f], (1, 2, 0))
             if "n_children" not in kwargs:
                 # 2 -> 3 migration: checkpoints written before child counting
                 # existed — reconstruct counts from the parent array (exact)

@@ -29,7 +29,7 @@ def visualize_planner(planner, dx: int = 0, dy: int = 1, ax=None,
         for i in range(1, size, step):
             ln = int(host.edge_len[i])
             if ln > 0:
-                seg = host.edge_x[i][:ln]
+                seg = host.edge_x[:ln, :, i]     # time-major (H, n, N)
                 p = host.state[int(host.parent[i])]
                 xs = np.concatenate([[p[dx]], seg[:, dx]])
                 ys = np.concatenate([[p[dy]], seg[:, dy]])
@@ -88,7 +88,7 @@ def animate_planner(planner, dx: int = 0, dy: int = 1, path: str = None,
     for i in edge_ids:
         ln = int(host.edge_len[i])
         p = host.state[int(host.parent[i])]
-        seg = host.edge_x[i][:ln] if ln > 0 else host.state[i][None]
+        seg = host.edge_x[:ln, :, i] if ln > 0 else host.state[i][None]
         xs = np.concatenate([[p[dx]], seg[:, dx]])
         ys = np.concatenate([[p[dy]], seg[:, dy]])
         (line,) = ax.plot(xs, ys, lw=0.3, c="#bbccdd", zorder=1,

@@ -204,8 +204,8 @@ def test_dense_commit_matches_scatter_commit():
 
     pids = jnp.asarray(rng.integers(0, size0, B).astype(np.int32))
     length = jnp.asarray([0, 2, 4, 0, 1, 3, 2, 1], np.int32)  # 2 invalid
-    x_seq = jnp.asarray(rng.normal(size=(B, H, n)).astype(np.float32))
-    u_seq = jnp.asarray(rng.normal(size=(B, H, m)).astype(np.float32))
+    x_seq = jnp.asarray(rng.normal(size=(H, n, B)).astype(np.float32))
+    u_seq = jnp.asarray(rng.normal(size=(H, m, B)).astype(np.float32))
     xnew = jnp.asarray(rng.normal(size=(B, n)).astype(np.float32))
     S_new = jnp.tile(jnp.eye(n)[None], (B, 1, 1))
     K_new = jnp.zeros((B, m, n))
@@ -221,9 +221,13 @@ def test_dense_commit_matches_scatter_commit():
     assert bool(out_sc.goal_found) == bool(out_de.goal_found)
     sz = int(out_sc.size)
     for f in ("state", "parent", "edge_len", "node_time", "goal_cost",
-              "in_goal", "edge_x", "edge_u"):
+              "in_goal"):
         a = np.asarray(getattr(out_sc, f))[:sz]
         b = np.asarray(getattr(out_de, f))[:sz]
+        np.testing.assert_array_equal(a, b, err_msg=f)
+    for f in ("edge_x", "edge_u"):          # time-major: node axis is last
+        a = np.asarray(getattr(out_sc, f))[..., :sz]
+        b = np.asarray(getattr(out_de, f))[..., :sz]
         np.testing.assert_array_equal(a, b, err_msg=f)
 
 
@@ -249,8 +253,8 @@ def test_refine_commit_leaf_replacement():
     )
     pids = jnp.asarray([3, 0, 1], jnp.int32)       # node 3 is a parent here
     length = jnp.asarray([1, 1, 0], jnp.int32)     # cand 2 invalid
-    x_seq = jnp.ones((B, H, n))
-    u_seq = jnp.ones((B, H, m))
+    x_seq = jnp.ones((H, n, B))                    # time-major
+    u_seq = jnp.ones((H, m, B))
     xnew = jnp.arange(B * n, dtype=jnp.float32).reshape(B, n) + 100.0
     S_new = jnp.tile(jnp.eye(n)[None], (B, 1, 1))
     K_new = jnp.zeros((B, m, n))
@@ -313,8 +317,107 @@ def test_expand_truncates_at_first_goal_entry():
     # node state is inside the goal box...
     e = np.abs(np.asarray(goal) - np.asarray(c.xnew))
     assert np.all(e <= np.asarray(buffer) + 1e-6)
-    # ...and is exactly the FIRST in-goal rollout step
-    xs = np.asarray(c.x_seq[0])
+    # ...and is exactly the FIRST in-goal rollout step (x_seq time-major)
+    xs = np.asarray(c.x_seq[:, :, 0])              # (H, n)
     inside = np.all(np.abs(np.asarray(goal) - xs) <= np.asarray(buffer),
                     axis=-1)
     assert int(length[0]) - 1 == int(np.argmax(inside))
+
+
+def test_steer_bt_layout_matches_batch_leading():
+    """layout="bt" (batch-trailing (n, B) scan carry, the TPU lane-friendly
+    form) is a drop-in for the default layout: identical booleans/lengths,
+    float outputs equal to contraction-order tolerance (core/steer.py)."""
+    from lqrrt_tpu.models import boat
+
+    prob = boat.default_problem()
+    H, dt = 60, 0.05
+    kw = dict(saturate=prob["saturate"],
+              goal_buffer=prob["constraints"].goal_buffer)
+    mk = lambda layout: jax.jit(make_steer(  # noqa: E731
+        prob["dynamics"], prob["erf"], prob["constraints"].is_feasible,
+        H, dt, 0.05, layout=layout, **kw))
+    B = 48
+    key = jax.random.PRNGKey(3)
+    x0 = jax.random.uniform(key, (B, 6), minval=-1.0, maxval=1.0)
+    _, K = prob["lqr"](None, None)
+    Kb = jnp.tile(K[None], (B, 1, 1))
+    xtar = jax.random.uniform(jax.random.fold_in(key, 1), (B, 6),
+                              minval=-3.0, maxval=3.0)
+    goal = jnp.asarray(prob["goal"])
+    ra = mk("b")(x0, Kb, xtar, goal)
+    rb = mk("bt")(x0, Kb, xtar, goal)
+    for f in ("mask", "length", "reached", "in_goal"):
+        np.testing.assert_array_equal(np.asarray(getattr(ra, f)),
+                                      np.asarray(getattr(rb, f)), err_msg=f)
+    for f in ("x_seq", "u_seq", "xnew"):
+        np.testing.assert_allclose(np.asarray(getattr(ra, f)),
+                                   np.asarray(getattr(rb, f)),
+                                   rtol=1e-4, atol=1e-3, err_msg=f)
+
+
+def test_commit_all_matches_dense_on_valid_rows():
+    """commit_batch_dense_all (sort/gather-free) keeps every VALID candidate
+    with data identical to the sorted dense commit; invalid rows become
+    zero-length duplicates of their parent that are inert: in_goal False,
+    no child-count contribution, goal_found unchanged."""
+    from lqrrt_tpu.core.commit import commit_batch_dense, commit_batch_dense_all
+    from lqrrt_tpu.core.tree import init_tree
+
+    N, H, n, m, B = 32, 4, 3, 2, 8
+    rng = np.random.default_rng(1)
+    x0 = jnp.zeros(n)
+    t_de = init_tree(N, H, n, m, x0, jnp.eye(n), jnp.zeros((m, n)), 5.0,
+                     False, slack=B)
+    t_al = init_tree(N, H, n, m, x0, jnp.eye(n), jnp.zeros((m, n)), 5.0,
+                     False, slack=B)
+    size0 = 5
+    t_de = t_de._replace(size=jnp.asarray(size0))
+    t_al = t_al._replace(size=jnp.asarray(size0))
+
+    pids = jnp.asarray(rng.integers(0, size0, B).astype(np.int32))
+    length = jnp.asarray([0, 2, 4, 0, 1, 3, 2, 1], np.int32)  # 2 invalid
+    x_seq = jnp.asarray(rng.normal(size=(H, n, B)).astype(np.float32))
+    u_seq = jnp.asarray(rng.normal(size=(H, m, B)).astype(np.float32))
+    xnew = jnp.asarray(rng.normal(size=(B, n)).astype(np.float32))
+    S_new = jnp.tile(jnp.eye(n)[None], (B, 1, 1))
+    K_new = jnp.zeros((B, m, n))
+    in_goal = jnp.asarray([False, False, True, False, False, False, False,
+                           False])
+    gcost = jnp.asarray(rng.uniform(1, 9, B).astype(np.float32))
+
+    de = commit_batch_dense(t_de, 0.1, N, pids, length, x_seq, u_seq, xnew,
+                            S_new, K_new, in_goal, gcost)
+    al = commit_batch_dense_all(t_al, 0.1, N, pids, length, x_seq, u_seq,
+                                xnew, S_new, K_new, in_goal, gcost)
+    assert int(al.size) == size0 + B            # every row lands
+    assert bool(al.goal_found) == bool(de.goal_found) is True
+    # valid rows carry identical data in both commits (order may differ):
+    # compare as multisets keyed by (state, edge_len)
+    val = np.asarray(length) >= 1
+    a_rows = {}
+    for i in range(B):
+        r = size0 + i
+        row = (np.asarray(al.edge_len[r]).item(),
+               tuple(np.round(np.asarray(al.state[r]), 5)))
+        a_rows.setdefault(row, 0)
+        a_rows[row] += 1
+        if not val[i]:
+            # invalid row: zero-length duplicate, inert
+            assert int(al.edge_len[r]) == 0
+            assert not bool(al.in_goal[r])
+    de_rows = {}
+    for r in range(size0, int(de.size)):
+        row = (np.asarray(de.edge_len[r]).item(),
+               tuple(np.round(np.asarray(de.state[r]), 5)))
+        de_rows.setdefault(row, 0)
+        de_rows[row] += 1
+    for row, cnt in de_rows.items():
+        assert a_rows.get(row, 0) >= cnt, row
+    # child counts: only valid rows contribute
+    expect = np.zeros(N + B, np.int64)
+    for i in np.flatnonzero(val):
+        expect[int(pids[i])] += 1
+    got = np.asarray(al.n_children)[: N + B].astype(np.int64)
+    base = np.zeros(N + B, np.int64)
+    np.testing.assert_array_equal(got - base, expect)

@@ -78,11 +78,12 @@ def test_map_sharded_round_matches_single_device():
                                   np.asarray(ref.in_goal[:sz]))
     # committed rollout prefixes match step-for-step
     lens = np.asarray(ref.edge_len[:sz])
-    ex_ref = np.asarray(ref.edge_x[:sz])
-    ex_out = np.asarray(out.edge_x[:sz])
+    ex_ref = np.asarray(ref.edge_x[..., :sz])      # time-major (H, n, N)
+    ex_out = np.asarray(out.edge_x[..., :sz])
     for i in range(1, sz):
         ln = int(lens[i])
-        np.testing.assert_allclose(ex_out[i][:ln], ex_ref[i][:ln], atol=1e-5)
+        np.testing.assert_allclose(ex_out[:ln, :, i], ex_ref[:ln, :, i],
+                                   atol=1e-5)
 
 
 def test_map_sharded_multi_round_plans_through_gap():
@@ -196,8 +197,8 @@ def test_dp_map_composed_round_matches_single_device():
                                np.asarray(ref.state[:sz]), atol=1e-5)
     # committed rollout prefixes match step-for-step
     lens = np.asarray(ref.edge_len[:sz])
-    ex_ref = np.asarray(ref.edge_x[:sz])
-    ex_out = np.asarray(out.edge_x[:sz])
+    ex_ref = np.asarray(ref.edge_x[..., :sz])      # time-major (H, n, N)
+    ex_out = np.asarray(out.edge_x[..., :sz])
     for i in range(1, sz):
-        np.testing.assert_allclose(ex_out[i][:int(lens[i])],
-                                   ex_ref[i][:int(lens[i])], atol=1e-5)
+        np.testing.assert_allclose(ex_out[:int(lens[i]), :, i],
+                                   ex_ref[:int(lens[i]), :, i], atol=1e-5)

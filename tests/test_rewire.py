@@ -96,8 +96,8 @@ def _build_detour_tree(spec):
             S=tree.S.at[idx].set(_S),
             K=tree.K.at[idx].set(_K),
             parent=tree.parent.at[idx].set(parent),
-            edge_x=tree.edge_x.at[idx].set(
-                jnp.broadcast_to(state, (H, n))),
+            edge_x=tree.edge_x.at[:, :, idx].set(
+                jnp.broadcast_to(state, (H, n))),   # time-major (H, n, N)
             edge_len=tree.edge_len.at[idx].set(steps),
             node_time=tree.node_time.at[idx].set(
                 tree.node_time[parent] + steps * spec.dt),
@@ -152,7 +152,7 @@ def test_rewire_reparents_and_propagates():
             j = int(parent[j])
     # edge continuity contract: the new edge endpoint is within error_tol
     ln = int(np.asarray(out.edge_len)[2])
-    end = np.asarray(out.edge_x)[2, ln - 1]
+    end = np.asarray(out.edge_x)[ln - 1, :, 2]     # time-major (H, n, N)
     assert np.linalg.norm(end - np.asarray(tree.state)[2]) <= 0.05 + 1e-6
 
 

@@ -155,7 +155,10 @@ def test_topk_collective_matches_singlechip_topk(prob):
         c = expand(tree, xrand, goal)
         score = candidate_scores(tree, c, spec.dt)
         _, gidx = jax.lax.top_k(-score, K)
-        winners = jax.tree.map(lambda a: a[gidx], c)
+        # candidate axis is LAST for the time-major rollout buffers
+        winners = c._replace(
+            **{f: (getattr(c, f)[..., gidx] if f in ("x_seq", "u_seq")
+                   else getattr(c, f)[gidx]) for f in c._fields})
         winners = winners._replace(
             length=jnp.where(jnp.take(score, gidx) < jnp.inf,
                              winners.length, 0))
@@ -352,7 +355,7 @@ def test_fleet_per_scenario_worlds_and_batched_extraction(prob):
         xs = [np.asarray(t.state[chain[0]])[None]]
         for k in range(1, len(chain)):
             ln = int(np.asarray(t.edge_len[chain[k]]))
-            xs.append(np.asarray(t.edge_x[chain[k]])[:ln])
+            xs.append(np.asarray(t.edge_x[:ln, :, chain[k]]))  # time-major
         ref = np.concatenate(xs, 0)
         np.testing.assert_allclose(plans[s], ref, atol=1e-6)
 
