@@ -196,8 +196,12 @@ def bench_pallas_equiv(n=6, wrap_dim=2, N=32768, B=8192, block=1024, seed=3):
     return out
 
 
-def _oracle_problem(name):
-    """(oracle planner, jax problem dict, per-dim goal bias) for a model."""
+def _oracle_problem(name, goal_entry_trunc=False):
+    """(oracle planner, jax problem dict, per-dim goal bias) for a model.
+
+    ``goal_entry_trunc=True`` gives the oracle the same first-entry goal
+    truncation the TPU planner uses, so quality ratios compare planners and
+    not dt resolution (VERDICT r3 item 4)."""
     from lqrrt_tpu.oracle import numpy_planner as oracle
 
     if name == "boat":
@@ -247,7 +251,8 @@ def _oracle_problem(name):
     orc = oracle.NumpyOracle(
         dynamics=dyn_np, lqr=lqr_np, erf=erf_np, is_feasible=feas,
         goal_buffer=prob["constraints"].goal_buffer,
-        horizon=prob["horizon"], dt=prob["dt"], saturate=sat_np)
+        horizon=prob["horizon"], dt=prob["dt"], saturate=sat_np,
+        goal_entry_trunc=goal_entry_trunc)
     return orc, prob, np.asarray(bias, np.float64)
 
 
@@ -256,11 +261,12 @@ def bench_quality(names=("boat", "car", "quadrotor"), tpu_budget=1.0):
     SURVEY.md section 4 item 2; VERDICT round 2 item 9).  Ratio = TPU plan
     duration / oracle plan duration; both planners get the same problem,
     same per-dim goal bias, disjoint solver stacks end to end.  Reported:
-    per-seed ratios + mean, so the headline numbers carry their variance.
+    per-seed ratios + mean + spread, so the headline numbers carry their
+    variance.
 
-    Note the TPU planner truncates goal edges at FIRST goal entry while the
-    oracle (reference semantics) tests only rollout endpoints — part of the
-    duration advantage is that dt-resolution; see PARITY.md C6.
+    Apples-to-apples (VERDICT r3 item 4): the oracle runs with the SAME
+    first-entry goal truncation the TPU planner uses (goal_entry_trunc=True)
+    so the ratio no longer includes the TPU side's free dt resolution.
     """
     import lqrrt_tpu
 
@@ -268,16 +274,15 @@ def bench_quality(names=("boat", "car", "quadrotor"), tpu_budget=1.0):
     # planner to reach the goal at all.  The nonholonomic car gets 30 s and
     # seeds verified to give it a fighting chance (at 20 s / seed 7 it never
     # reached the goal, leaving the ratio unmeasured — VERDICT round 2 weak
-    # #8); fewer car/quadrotor seeds keep total oracle time bounded.
-    # Budgets sized so the oracle reaches the goal on most seeds even when
-    # the host is having a slow session (oracle nodes/s varies ~2x run to
-    # run; a too-tight budget collapses the measurable-ratio count)
+    # #8).  Budgets sized so the oracle reaches the goal on most seeds even
+    # when the host is having a slow session (oracle nodes/s varies ~2x run
+    # to run; a too-tight budget collapses the measurable-ratio count).
     oracle_budget = {"boat": 10.0, "car": 30.0, "quadrotor": 30.0}
-    seeds = {"boat": (7, 11, 23, 31, 47), "car": (11, 23, 31),
-             "quadrotor": (7, 11, 23)}
+    seeds = {"boat": (7, 11, 23, 31, 47), "car": (7, 11, 23, 31, 47),
+             "quadrotor": (7, 11, 23, 31, 47)}
     out = {}
     for name in names:
-        orc, prob, bias = _oracle_problem(name)
+        orc, prob, bias = _oracle_problem(name, goal_entry_trunc=True)
         ob = oracle_budget.get(name, 6.0)
         planner = lqrrt_tpu.Planner(
             prob["dynamics"], prob["lqr"], prob["constraints"],
@@ -314,9 +319,14 @@ def bench_quality(names=("boat", "car", "quadrotor"), tpu_budget=1.0):
         out[f"quality_{name}_duration_ratio"] = (
             round(float(np.mean(ratios)), 3) if ratios else None)
         out[f"quality_{name}_duration_ratio_seeds"] = ratios
+        out[f"quality_{name}_duration_ratio_spread"] = (
+            [round(float(np.min(ratios)), 3), round(float(np.max(ratios)), 3)]
+            if ratios else None)
         log(f"quality [{name}]: mean ratio "
             f"{out[f'quality_{name}_duration_ratio']} over {len(ratios)} "
-            f"measurable seeds (oracle goal {go}/{n}, tpu goal {gt}/{n})")
+            f"measurable seeds, spread "
+            f"{out[f'quality_{name}_duration_ratio_spread']} "
+            f"(oracle goal {go}/{n}, tpu goal {gt}/{n})")
     return out
 
 

@@ -40,11 +40,14 @@ def circles_free(centers, radii, pos_dims: Sequence[int] = (0, 1),
     # numpy constants (see angles.make_erf note on remote-backend closures)
     centers = np.asarray(centers, np.float32).reshape(-1, 2)
     radii = np.asarray(radii, np.float32).reshape(-1)
-    pos_dims = np.asarray(list(pos_dims))
+    # static python ints: x[d] per dim instead of an advanced-index gather —
+    # gathers don't lower inside the Pallas rollout kernel (Mosaic), and the
+    # stack form is identical semantics everywhere else
+    dims = tuple(int(d) for d in pos_dims)
 
     def is_feasible(x, u):
         del u
-        p = x[pos_dims]
+        p = jnp.stack([x[d] for d in dims])
         d2 = jnp.sum((centers - p) ** 2, axis=-1)
         return jnp.all(d2 > (radii + margin) ** 2)
 
@@ -71,11 +74,12 @@ def state_box(xmin, xmax, dims: Sequence[int] | None = None) -> Feasibility:
     """Feasible iff selected state dims stay inside a box (workspace bounds)."""
     xmin = np.asarray(xmin, np.float32)
     xmax = np.asarray(xmax, np.float32)
-    sel = None if dims is None else np.asarray(list(dims))
+    sel = None if dims is None else tuple(int(d) for d in dims)
 
     def is_feasible(x, u):
         del u
-        xs = x if sel is None else x[sel]
+        # static per-dim indexing (no gather — Pallas-kernel traceable)
+        xs = x if sel is None else jnp.stack([x[d] for d in sel])
         return jnp.all((xs >= xmin) & (xs <= xmax))
 
     return is_feasible

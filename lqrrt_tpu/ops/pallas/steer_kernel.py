@@ -51,8 +51,13 @@ def make_steer_pallas(dynamics, erf, is_feasible, horizon_steps: int,
     2 * H * (n_pad + m_pad) * batch_tile * 4 bytes with double buffering;
     512 keeps the boat config (H=100) ~7 MB, inside the 16 MiB scoped-VMEM
     budget of this environment's compile path.
+
+    ``unroll``: Mosaic's fori_loop supports only 1 (rolled) or the full trip
+    count (fully unrolled).
     """
     H = int(horizon_steps)
+    if unroll not in (1, H):
+        raise ValueError(f"unroll must be 1 or horizon_steps={H}")
     tol = np.asarray(error_tol, np.float32)
     per_dim = tol.ndim > 0
     gbuf = None if goal_buffer is None else np.asarray(goal_buffer,
@@ -67,18 +72,24 @@ def make_steer_pallas(dynamics, erf, is_feasible, horizon_steps: int,
     erfgT = None if gbuf is None else jax.vmap(erf, in_axes=(None, -1),
                                                out_axes=-1)
 
-    def converged(e):                       # (n, Bt) -> (Bt,)
+    def converged(e):                       # (n, Bt) -> (1, Bt) bool
+        # keepdims + 2-D masks throughout: Mosaic fails to legalize scf.for
+        # over 1-D/bool carried vectors on this backend
+        # (tools/dbg_steer_scaffold.py)
         if per_dim:
-            return jnp.all(jnp.abs(e) <= tol[:, None], axis=0)
-        return jnp.sum(e * e, axis=0) <= float(tol) * float(tol)
+            return jnp.all(jnp.abs(e) <= tol[:, None], axis=0, keepdims=True)
+        return jnp.sum(e * e, axis=0, keepdims=True) <= float(tol) * float(tol)
 
-    def step_math(x, K, tar, goal, done, length, hit):
+    def step_math(x, K, tar, goal, done_i, length, hit_i):
         """One closed-loop step on a (·, Bt) lane tile — the whole per-step
-        dataflow in one traceable function so closure_convert can hoist the
-        callbacks' captured constants into explicit arguments."""
+        dataflow in one traceable function so the jaxpr-level hoist can turn
+        the callbacks' captured constants into explicit arguments.
+
+        Loop-carried masks are (1, Bt) int32 (done_i, hit_i) and (1, Bt)
+        int32 length; bools exist only as intra-step temporaries."""
         n = x.shape[0]
         e = erfT(tar, x)
-        arrived = converged(e)
+        arrived = converged(e)                         # (1, Bt) bool
         # u = K e as m*n fused multiply-adds on lane vectors (contraction
         # dims are tiny; dot_general would waste the MXU)
         u = K[:, 0, :] * e[0][None, :]
@@ -87,61 +98,119 @@ def make_steer_pallas(dynamics, erf, is_feasible, horizon_steps: int,
         if satT is not None:
             u = satT(u)
         xn = dynT(x, u)
-        feas = feasT(xn, u)
+        feas = feasT(xn, u)[None, :]                   # (1, Bt) bool
+        done = done_i > 0
         commit = jnp.logical_and(
             jnp.logical_not(done),
             jnp.logical_and(jnp.logical_not(arrived), feas))
-        x_out = jnp.where(commit[None, :], xn, x)
+        x_out = jnp.where(commit, xn, x)
         length = length + commit.astype(jnp.int32)
         done = done | arrived | jnp.logical_not(feas)
+        hit = hit_i > 0
         if gbuf is not None:
             hit_step = commit & jnp.all(
-                jnp.abs(erfgT(goal, xn)) <= gbuf[:, None], axis=0)
+                jnp.abs(erfgT(goal, xn)) <= gbuf[:, None], axis=0,
+                keepdims=True)
             hit = hit | hit_step
             done = done | hit_step
-        return x_out, u, done, length, hit
+        return (x_out, u, done.astype(jnp.int32), length,
+                hit.astype(jnp.int32))
 
     def final_reached(x, tar):
         return converged(erfT(tar, x))
 
     def steer(x0, K, xtar, goal=None):
+        import math
         B, n = x0.shape
         m = K.shape[1]
-        Bt = min(batch_tile, B)
-        if B % Bt:
-            raise ValueError(f"batch {B} not divisible by tile {Bt}")
+        # largest tile <= batch_tile that divides B (each distinct B is a
+        # fresh trace anyway, so the per-call computation is free)
+        Bt = math.gcd(B, batch_tile) if B % min(batch_tile, B) \
+            else min(batch_tile, B)
         nb = B // Bt
-        goal_in = (jnp.zeros((n,), jnp.float32) if goal is None
-                   else jnp.asarray(goal, jnp.float32))
+        goal_in = (jnp.zeros((1, n), jnp.float32) if goal is None
+                   else jnp.asarray(goal, jnp.float32)[None, :])
 
         # Hoist every constant the callbacks capture into explicit inputs
-        # (Pallas kernels may not close over arrays).  Bools ride as int32.
+        # (Pallas kernels may not close over arrays; jax.closure_convert
+        # hoists only perturbed/traced consts, so concrete numpy model
+        # constants need a manual jaxpr-level hoist).  Bools ride as int32.
+        def hoist(fun, *ex):
+            closed = jax.make_jaxpr(fun)(*ex)
+            jaxpr, cs = closed.jaxpr, closed.consts
+            n_args = len(ex)
+
+            def pure(*args_and_consts):
+                args = args_and_consts[:n_args]
+                consts = args_and_consts[n_args:]
+                out = jax.core.eval_jaxpr(jaxpr, consts, *args)
+                return tuple(out) if len(out) > 1 else out[0]
+
+            return pure, [jnp.asarray(c) for c in cs]
+
         ex = (jnp.zeros((n, Bt)), jnp.zeros((m, n, Bt)), jnp.zeros((n, Bt)),
-              jnp.zeros((n,)), jnp.zeros((Bt,), bool),
-              jnp.zeros((Bt,), jnp.int32), jnp.zeros((Bt,), bool))
-        step_pure, consts = jax.closure_convert(step_math, *ex)
-        reach_pure, consts_r = jax.closure_convert(
+              jnp.zeros((n,)), jnp.zeros((1, Bt), jnp.int32),
+              jnp.zeros((1, Bt), jnp.int32), jnp.zeros((1, Bt), jnp.int32))
+        step_pure, consts = hoist(step_math, *ex)
+        reach_pure, consts_r = hoist(
             final_reached, jnp.zeros((n, Bt)), jnp.zeros((n, Bt)))
         all_consts = list(consts) + list(consts_r)
         n_step_consts = len(consts)
-        const_dtypes = [c.dtype for c in all_consts]
-        const_in = [jnp.atleast_1d(c).astype(
+        # Constant handling: custom-call operands cost ~0.4 ms EACH on this
+        # backend (dbg P8: 16 small const operands -> 6.6 ms; derived big
+        # tensors are free) — so CONCRETE consts are NOT passed as operands
+        # at all.  They are re-materialized inside the kernel from python
+        # scalar literals, each multiplied by an input-derived 1.0 so the
+        # result is a computed value rather than a (forbidden) captured
+        # array constant.  Only TRACER consts (e.g. dynamic-obstacle data
+        # threaded as a traced chunk argument) remain operands — those take
+        # the fast derived-operand path.  ~50 scalar ops at trace time for
+        # every shipped model; refuse absurd embeddings.
+        is_trc = [isinstance(c, jax.core.Tracer) for c in all_consts]
+        for c, trc in zip(all_consts, is_trc):
+            if not trc and np.asarray(c).size > 4096:
+                raise ValueError(
+                    f"captured constant of {np.asarray(c).size} elements is "
+                    "too large to embed in the rollout kernel")
+        op_consts = [c for c, trc in zip(all_consts, is_trc) if trc]
+        const_dtypes = [c.dtype for c in op_consts]
+        # every operand >= 2-D: 1-D custom-call operands ALSO trigger the
+        # pessimized-executable path on this backend (dbg: "D param(1d in)"
+        # 84 ms vs 2-D 0.095 ms); originals are restored by reshape inside
+        const_in = [jnp.atleast_2d(c).astype(
             jnp.int32 if c.dtype == jnp.bool_ else c.dtype)
-            for c in all_consts]
+            for c in op_consts]
 
-        def kernel(goal_ref, x0_ref, K_ref, tar_ref, *refs):
+        def kernel(s_ref, goal_ref, x0_ref, K_ref, tar_ref, *refs):
+            del s_ref          # dummy scalar-prefetch (see pallas_call note)
             const_refs = refs[:len(const_in)]
             xs_ref, us_ref, len_ref, xf_ref, reach_ref, hit_ref = \
                 refs[len(const_in):]
-            cs = [r[:].astype(jnp.bool_) if d == jnp.bool_ else r[:]
-                  for r, d in zip(const_refs, const_dtypes)]
-            cs = [c.reshape(a.shape) for c, a in zip(cs, all_consts)]
-            c_step, c_reach = cs[:n_step_consts], cs[n_step_consts:]
             x0_t = x0_ref[:]
+            one = x0_t[0, 0] * 0.0 + 1.0   # input-derived 1.0 (no folding)
+
+            def embed(arr):
+                a = np.asarray(arr)
+                flat = [jnp.float32(float(v)) * one
+                        for v in a.astype(np.float64).ravel().tolist()]
+                out = jnp.stack(flat).reshape(a.shape)
+                if a.dtype == np.bool_:
+                    return out > 0.5
+                return out.astype(a.dtype)
+
+            traced_cs = [r[:].astype(jnp.bool_) if d == jnp.bool_ else r[:]
+                         for r, d in zip(const_refs, const_dtypes)]
+            traced_cs = [c.reshape(a.shape)
+                         for c, a in zip(traced_cs, op_consts)]
+            it = iter(traced_cs)
+            cs = [next(it) if trc else embed(c)
+                  for c, trc in zip(all_consts, is_trc)]
+            c_step, c_reach = cs[:n_step_consts], cs[n_step_consts:]
             K_t = K_ref[:]
             tar_t = tar_ref[:]
-            goal_t = goal_ref[:]
+            goal_t = goal_ref[:].reshape((goal_ref.shape[1],))
             Bt_ = x0_t.shape[-1]
+
 
             def body(h, carry):
                 x, done, length, hit = carry
@@ -151,14 +220,18 @@ def make_steer_pallas(dynamics, erf, is_feasible, horizon_steps: int,
                 us_ref[pl.ds(h, 1)] = u[None]
                 return x_out, done, length, hit
 
-            init = (x0_t, jnp.zeros((Bt_,), bool),
-                    jnp.zeros((Bt_,), jnp.int32), jnp.zeros((Bt_,), bool))
+            init = (x0_t, jnp.zeros((1, Bt_), jnp.int32),
+                    jnp.zeros((1, Bt_), jnp.int32),
+                    jnp.zeros((1, Bt_), jnp.int32))
             x, done, length, hit = jax.lax.fori_loop(0, H, body, init,
                                                      unroll=unroll)
+            # per-candidate outputs are (1, Bt) blocks: Mosaic rejects 1-D
+            # OUTPUT blocks on this backend (1-D inputs are fine) —
+            # tools/dbg_steer_scaffold.py stages D/E
             len_ref[:] = length
             xf_ref[:] = x
             reach_ref[:] = reach_pure(x, tar_t, *c_reach).astype(jnp.int32)
-            hit_ref[:] = hit.astype(jnp.int32)
+            hit_ref[:] = hit
 
         # batch-trailing device layouts (tiny transposes: (B, n) metadata)
         x0T = x0.T
@@ -168,40 +241,66 @@ def make_steer_pallas(dynamics, erf, is_feasible, horizon_steps: int,
         out_shape = (
             jax.ShapeDtypeStruct((H, n, B), jnp.float32),   # xs
             jax.ShapeDtypeStruct((H, m, B), jnp.float32),   # us
-            jax.ShapeDtypeStruct((B,), jnp.int32),          # length
+            jax.ShapeDtypeStruct((1, B), jnp.int32),        # length
             jax.ShapeDtypeStruct((n, B), jnp.float32),      # xf
-            jax.ShapeDtypeStruct((B,), jnp.int32),          # reached
-            jax.ShapeDtypeStruct((B,), jnp.int32),          # hit
+            jax.ShapeDtypeStruct((1, B), jnp.int32),        # reached
+            jax.ShapeDtypeStruct((1, B), jnp.int32),        # hit
         )
         rep = [pl.BlockSpec(c.shape, functools.partial(
-            lambda nd, i: (0,) * nd, c.ndim)) for c in const_in]
+            lambda nd, i, s: (0,) * nd, c.ndim),
+            memory_space=pltpu.VMEM) for c in const_in]
         flops_step = B * (2 * m * n + 40 * n)   # matvec + ~rk4 body
         cost = pl.CostEstimate(
             flops=H * flops_step,
             bytes_accessed=4 * (B * (2 * n + m * n)
                                 + H * (n + m) * B + 3 * B),
             transcendentals=H * B * 4)
-        xs, us, length, xfT, reached, hit = pl.pallas_call(
-            kernel,
+        # PrefetchScalarGridSpec (with a dummy scalar-prefetch operand) is
+        # LOAD-BEARING on this backend: a plain grid= pallas_call compiles
+        # to a ~400x-pessimized executable whenever any operand is an
+        # internal value (fusion output / constant) rather than an entry
+        # parameter — i.e. always, inside a fused round.  The prefetch grid
+        # spec takes the fast path for derived operands (measured round 4:
+        # 49 ms -> 0.057 ms for the identical kernel; same phenomenon class
+        # as the round-3 batched-LU pessimization).
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
             grid=(nb,),
             in_specs=[
-                pl.BlockSpec((n,), lambda i: (0,)),              # goal
-                pl.BlockSpec((n, Bt), lambda i: (0, i)),         # x0T
-                pl.BlockSpec((m, n, Bt), lambda i: (0, 0, i)),   # KT
-                pl.BlockSpec((n, Bt), lambda i: (0, i)),         # tarT
+                pl.BlockSpec((1, n), lambda i, s: (0, 0),
+                             memory_space=pltpu.VMEM),           # goal
+                pl.BlockSpec((n, Bt), lambda i, s: (0, i),
+                             memory_space=pltpu.VMEM),           # x0T
+                pl.BlockSpec((m, n, Bt), lambda i, s: (0, 0, i),
+                             memory_space=pltpu.VMEM),           # KT
+                pl.BlockSpec((n, Bt), lambda i, s: (0, i),
+                             memory_space=pltpu.VMEM),           # tarT
             ] + rep,
             out_specs=(
-                pl.BlockSpec((H, n, Bt), lambda i: (0, 0, i)),
-                pl.BlockSpec((H, m, Bt), lambda i: (0, 0, i)),
-                pl.BlockSpec((Bt,), lambda i: (i,)),
-                pl.BlockSpec((n, Bt), lambda i: (0, i)),
-                pl.BlockSpec((Bt,), lambda i: (i,)),
-                pl.BlockSpec((Bt,), lambda i: (i,)),
+                pl.BlockSpec((H, n, Bt), lambda i, s: (0, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((H, m, Bt), lambda i, s: (0, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Bt), lambda i, s: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n, Bt), lambda i, s: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Bt), lambda i, s: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Bt), lambda i, s: (0, i),
+                             memory_space=pltpu.VMEM),
             ),
+        )
+        xs, us, length, xfT, reached, hit = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
             out_shape=out_shape,
             cost_estimate=cost,
             interpret=interpret,
-        )(goal_in, x0T, KT, tarT, *const_in)
+        )(jnp.zeros((1,), jnp.int32), goal_in, x0T, KT, tarT, *const_in)
+        length = length[0]
+        reached = reached[0]
+        hit = hit[0]
         mask = (jnp.arange(H, dtype=jnp.int32)[:, None]
                 < length[None, :])                     # commits are a prefix
         return SteerResult(xs, us, mask, length, xfT.T,

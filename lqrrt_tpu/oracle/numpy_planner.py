@@ -29,7 +29,13 @@ class NumpyOracle:
     def __init__(self, dynamics: Callable, lqr: Callable, erf: Callable,
                  is_feasible: Callable, goal_buffer, horizon: float,
                  dt: float = 0.05, error_tol: float = 0.05,
-                 saturate: Callable = None):
+                 saturate: Callable = None, goal_entry_trunc: bool = False):
+        """``goal_entry_trunc``: stop each steer rollout at its FIRST in-goal
+        step, like the TPU planner's fused goal stop (core/steer.py) — the
+        reference tests only rollout endpoints, quantizing time-to-goal at
+        horizon multiples.  Default False = exact reference semantics; the
+        quality harness turns it ON so oracle-vs-TPU duration ratios compare
+        planners, not dt resolution (VERDICT r3 item 4 / PARITY C6)."""
         self.dynamics = dynamics          # (x, u, dt) -> xnext, numpy
         self.lqr = lqr                    # (x, u) -> (S, K), numpy
         self.erf = erf                    # (xgoal, x) -> e, numpy
@@ -39,9 +45,12 @@ class NumpyOracle:
         self.dt = dt
         self.error_tol = error_tol
         self.saturate = saturate or (lambda u: u)
+        self.goal_entry_trunc = bool(goal_entry_trunc)
 
-    def _steer(self, x0, K, xtar):
-        """Reference steer loop (SURVEY.md C5): per-dt python loop."""
+    def _steer(self, x0, K, xtar, goal=None):
+        """Reference steer loop (SURVEY.md C5): per-dt python loop.  With
+        ``goal`` set (goal_entry_trunc), the committed step that first lands
+        inside the goal box ends the rollout (first-entry truncation)."""
         x = np.array(x0, np.float64)
         xs, us = [], []
         for _ in range(self.horizon_steps):
@@ -55,6 +64,9 @@ class NumpyOracle:
             x = xn
             xs.append(x.copy())
             us.append(np.asarray(u, np.float64))
+            if goal is not None and np.all(
+                    np.abs(self.erf(goal, xn)) <= self.goal_buffer):
+                break
         return np.asarray(xs), np.asarray(us), x
 
     def plan(self, x0, goal, sample_space, goal_bias=0.0, seed: int = 0,
@@ -95,7 +107,9 @@ class NumpyOracle:
             cost = np.einsum("ij,ijk,ik->i", e, Sarr, e)
             pid = int(np.argmin(cost))
             # steer (SURVEY.md C5)
-            xs, us, xnew = self._steer(states[pid], Ks[pid], xr)
+            xs, us, xnew = self._steer(
+                states[pid], Ks[pid], xr,
+                goal if self.goal_entry_trunc else None)
             expansions += 1
             if len(xs) == 0:
                 continue

@@ -137,6 +137,7 @@ def make_map_sharded_round(spec: RoundSpec, mesh: Mesh, grid: ShardedGrid,
                            local_feasible: Callable, error_tol, goal_buffer,
                            wrap_mask=None, saturate: Callable | None = None,
                            nearest_fn: Callable | None = None,
+                           steer_fn: Callable | None = None,
                            axis: str = "map") -> Callable:
     """Round with the occupancy map sharded over ``axis``: candidates and
     tree replicated, ONE psum of slab verdicts truncates the rollout batch.
@@ -148,7 +149,7 @@ def make_map_sharded_round(spec: RoundSpec, mesh: Mesh, grid: ShardedGrid,
     assert grid.n_shards == n_dev, (grid.n_shards, n_dev)
     expand = make_expand(spec, dynamics, lqr, erf, local_feasible, error_tol,
                          goal_buffer, wrap_mask=wrap_mask, saturate=saturate,
-                         nearest_fn=nearest_fn)
+                         nearest_fn=nearest_fn, steer_fn=steer_fn)
     truncate = make_grid_truncate(spec, grid, lqr, erf, goal_buffer, axis)
 
     def round_body(tree: TreeArrays, slab, key, goal, sample_space,
@@ -180,6 +181,7 @@ def make_dp_map_round_body(
         local_feasible: Callable, error_tol, goal_buffer, wrap_mask=None,
         saturate: Callable | None = None,
         nearest_fn: Callable | None = None,
+        steer_fn: Callable | None = None,
         xrand_gen: Callable | None = None,
         dp_axis: str = "dp", map_axis: str = "map") -> Callable:
     """PER-DEVICE body of the P1 x P3 composed round — call it inside a
@@ -205,7 +207,7 @@ def make_dp_map_round_body(
     local_b = spec.batch // n_dp
     expand = make_expand(spec, dynamics, lqr, erf, local_feasible, error_tol,
                          goal_buffer, wrap_mask=wrap_mask, saturate=saturate,
-                         nearest_fn=nearest_fn)
+                         nearest_fn=nearest_fn, steer_fn=steer_fn)
     truncate = make_grid_truncate(spec, grid, lqr, erf, goal_buffer, map_axis)
 
     def round_body(tree: TreeArrays, slab, key, goal, sample_space,

@@ -92,6 +92,7 @@ def make_sharded_round_body(
         erf: Callable, is_feasible: Callable, error_tol, goal_buffer,
         wrap_mask=None, saturate: Callable | None = None,
         nearest_fn: Callable | None = None,
+        steer_fn: Callable | None = None,
         xrand_gen: Callable | None = None, axis: str = "dp",
         collective: str = "gather", topk: int | None = None,
         commit: str = "grow") -> Callable:
@@ -136,7 +137,7 @@ def make_sharded_round_body(
             raise ValueError("topk must be >= 1")
     expand = make_expand(spec, dynamics, lqr, erf, is_feasible, error_tol,
                          goal_buffer, wrap_mask=wrap_mask, saturate=saturate,
-                         nearest_fn=nearest_fn)
+                         nearest_fn=nearest_fn, steer_fn=steer_fn)
 
     def round_body(tree: TreeArrays, key, goal, sample_space, goal_bias,
                    bias_target) -> TreeArrays:
@@ -199,6 +200,7 @@ def make_sharded_round(spec: RoundSpec, mesh: Mesh, dynamics: Callable,
                        error_tol, goal_buffer, wrap_mask=None,
                        saturate: Callable | None = None,
                        nearest_fn: Callable | None = None,
+                       steer_fn: Callable | None = None,
                        xrand_gen: Callable | None = None,
                        axis: str = "dp", collective: str = "gather",
                        topk: int | None = None,
@@ -213,8 +215,8 @@ def make_sharded_round(spec: RoundSpec, mesh: Mesh, dynamics: Callable,
     body = make_sharded_round_body(
         spec, mesh_axis_size(mesh, axis), dynamics, lqr, erf, is_feasible,
         error_tol, goal_buffer, wrap_mask=wrap_mask, saturate=saturate,
-        nearest_fn=nearest_fn, xrand_gen=xrand_gen, axis=axis,
-        collective=collective, topk=topk, commit=commit)
+        nearest_fn=nearest_fn, steer_fn=steer_fn, xrand_gen=xrand_gen,
+        axis=axis, collective=collective, topk=topk, commit=commit)
     rep = P()
     # a single P() acts as a prefix spec for each whole argument pytree
     return shard_map(body, mesh=mesh,
@@ -227,6 +229,19 @@ def jit_sharded_round(round_fn: Callable, mesh: Mesh) -> Callable:
 
 
 def replicate_tree(tree: TreeArrays, mesh: Mesh) -> TreeArrays:
-    """Place every tree leaf replicated across the mesh."""
+    """Place every tree leaf replicated across the mesh.
+
+    On a multi-process mesh (jax.distributed, P5) device_put cannot target
+    non-addressable devices; build the global replicated array from each
+    process's identical local copy instead (the callers guarantee the value
+    is process-identical: seeds are deterministic functions of replicated
+    inputs)."""
+    import numpy as np
     sharding = NamedSharding(mesh, P())
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+    local = set(jax.local_devices())
+    if all(d in local for d in mesh.devices.flat):
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_callback(
+            np.shape(x), sharding,
+            lambda idx, _x=x: np.asarray(_x)[idx]), tree)

@@ -87,6 +87,7 @@ class Planner:
                  wrap_dims=(), nn_block: int = 1024, seed: int = 0,
                  saturate: Optional[Callable] = None,
                  rounds_per_chunk: int = 8, nn_impl: str = "auto",
+                 steer_impl: str = "scan",
                  mesh=None, mesh_axis: str = "dp",
                  collective: str = "gather", topk: Optional[int] = None,
                  refine: bool = True, informed: float = 0.5,
@@ -96,6 +97,8 @@ class Planner:
             raise ValueError("horizon and dt must be positive")
         if nn_impl not in ("auto", "pallas", "pallas_const", "jnp"):
             raise ValueError(f"unknown nn_impl {nn_impl!r}")
+        if steer_impl not in ("auto", "pallas", "scan"):
+            raise ValueError(f"unknown steer_impl {steer_impl!r}")
         if collective not in ("gather", "topk"):
             raise ValueError(f"unknown collective {collective!r}")
         if mesh is not None:
@@ -167,6 +170,19 @@ class Planner:
         self.wrap_dims = tuple(wrap_dims)
         self.rounds_per_chunk = max(int(rounds_per_chunk), 1)
         self.nn_impl = nn_impl
+        # steer_impl: the fused Pallas rollout kernel
+        # (ops/pallas/steer_kernel.py) runs the boat steer at 0.07 ms vs
+        # 3 ms for the lax.scan — but ONLY as a standalone dispatch: on this
+        # backend, composing the same kernel with any producer/consumer in
+        # one program compiles a ~300x-pessimized executable (round-4
+        # bisection, tools/dbg_*; same phenomenon class as the round-3
+        # batched-LU pathology), so inside the fused round it currently
+        # LOSES to the scan.  Default "scan" until that is routed around;
+        # "auto" probes availability and uses the kernel; "pallas" forces
+        # it (interpret mode off TPU).
+        self.steer_impl = steer_impl
+        self.steer_selected = "scan"
+        self._steer_probe = None
         # Multi-device mode (SURVEY.md 2.4 P1/P2): candidate batch sharded
         # over mesh_axis, tree replicated, best-edge collective per round
         # ("gather" = full candidate all-gather, commit-everything; "topk" =
@@ -340,6 +356,59 @@ class Planner:
         self.nn_selected = "pallas"
         return make_nearest_pallas(**kwargs)
 
+    def _steer_builder(self):
+        """None (use the lax.scan rollout) or ``feas -> steer_fn`` building
+        the fused Pallas rollout kernel with that feasibility closed over —
+        a builder rather than a function because dynamic-obstacle planners
+        close traced data into feas per chunk trace (C9)."""
+        if self.steer_impl == "scan":
+            return None
+        platform = jax.devices()[0].platform
+        interp = platform != "tpu"
+        if self.steer_impl == "auto" and interp:
+            return None
+        from .ops.pallas.steer_kernel import make_steer_pallas
+        if self.steer_impl == "auto" and self._steer_probe is None:
+            # one tiny compile decides kernel availability for this problem
+            # (user callbacks that Mosaic cannot lower fail here, not in the
+            # middle of a timed replan)
+            try:
+                feas = self.constraints.is_feasible
+                if self.constraints.feasibility_data is not None:
+                    data = jax.tree.map(jnp.asarray,
+                                        self.constraints.feasibility_data)
+                    user = feas
+                    feas = lambda x, u: user(x, u, data)  # noqa: E731
+                probe = make_steer_pallas(
+                    self.dynamics, self.erf, feas,
+                    min(self.horizon_steps, 4), self.dt, self.error_tol,
+                    saturate=self.saturate,
+                    goal_buffer=self.constraints.goal_buffer, batch_tile=8)
+                out = jax.jit(probe)(
+                    jnp.zeros((8, self.nstates)),
+                    jnp.zeros((8, self.ncontrols, self.nstates)),
+                    jnp.zeros((8, self.nstates)), jnp.zeros(self.nstates))
+                jax.block_until_ready(out)
+                self._steer_probe = True
+            except Exception as e:
+                import warnings
+                warnings.warn(
+                    "Pallas steer kernel unavailable; falling back to the "
+                    f"lax.scan rollout: {type(e).__name__}: {str(e)[:200]}",
+                    stacklevel=2)
+                self._steer_probe = False
+        if self.steer_impl == "auto" and not self._steer_probe:
+            return None
+        self.steer_selected = "pallas"
+
+        def build(feas):
+            return make_steer_pallas(
+                self.dynamics, self.erf, feas, self.horizon_steps, self.dt,
+                self.error_tol, saturate=self.saturate,
+                goal_buffer=self.constraints.goal_buffer, interpret=interp)
+
+        return build
+
     def _get_chunk(self, xrand_gen, n_fpr: int, commit: str = "grow"):
         """Jitted chunk: rounds_per_chunk expansion rounds fused into one
         device program, returning (tree, packed [size, goal_found]) so the
@@ -387,6 +456,7 @@ class Planner:
         user_feas = self.constraints.is_feasible
         uses_data = self.constraints.feasibility_data is not None
         informed_on = xrand_gen is None and self.informed > 0.0
+        steer_builder = self._steer_builder()
 
         # ``extra`` traced args, in order: [prev_plan (FPR)], [feas_data],
         # [informed pool, informed frac].  All ride through the ONE compiled
@@ -449,18 +519,20 @@ class Planner:
                     rows = jax.random.randint(k2, (n_take,), 0,
                                               prev_plan.shape[0])
                     return jnp.concatenate([prev_plan[rows], fresh], 0)
+            sfn = steer_builder(feas) if steer_builder is not None else None
             if commit == "refine":
                 # capacity-saturated: leaf replacement + rewiring, so the
                 # remaining budget keeps shortening the committed plan
                 fn = make_refine_round(
                     spec, self.dynamics, self.lqr, self.erf, feas,
                     self.error_tol, self.constraints.goal_buffer,
-                    xrand_gen=gen, **common)
+                    xrand_gen=gen, steer_fn=sfn, **common)
             else:
                 fn = make_round(spec, self.dynamics, self.lqr, self.erf,
                                 feas, self.error_tol,
                                 self.constraints.goal_buffer,
-                                xrand_gen=gen, commit=commit, **common)
+                                xrand_gen=gen, commit=commit, steer_fn=sfn,
+                                **common)
             return fn(tree, k, goal, sample_space, goal_bias, bias_target)
 
         n_inner = self.rounds_per_chunk
@@ -519,6 +591,7 @@ class Planner:
                 dp_axis=self.mesh_axis, map_axis=self.map_axis, **common)
 
         informed_on = xrand_gen is None and self.informed > 0.0
+        steer_builder = self._steer_builder()
 
         def device_fn(tree, base_key, start, goal, sample_space, goal_bias,
                       bias_target, *extra):
@@ -571,9 +644,11 @@ class Planner:
                     rows = jax.random.randint(k2, (n_loc,), 0,
                                               prev_plan.shape[0])
                     return jnp.concatenate([prev_plan[rows], fresh], 0)
+            sfn = steer_builder(feas) if steer_builder is not None else None
             if grid is None:
                 body = make_sharded_round_body(xrand_gen=gen,
-                                               is_feasible=feas, **mk_body)
+                                               is_feasible=feas,
+                                               steer_fn=sfn, **mk_body)
 
                 def one(i, t):
                     k = jax.random.fold_in(base_key, start + i)
@@ -581,7 +656,8 @@ class Planner:
                                 bias_target)
             else:
                 body = make_dp_map_round_body(xrand_gen=gen,
-                                              local_feasible=feas, **mk_body)
+                                              local_feasible=feas,
+                                              steer_fn=sfn, **mk_body)
 
                 def one(i, t):
                     k = jax.random.fold_in(base_key, start + i)
@@ -602,6 +678,191 @@ class Planner:
                        out_specs=(rep, rep), check_vma=False)
         return jax.jit(fn, donate_argnums=(0,))
 
+    # score-vector layout of the fused-restart chunk, f32[6]:
+    # [valid, s1 (0 = best has goal), s2 (goal time | cost-to-go),
+    #  n_live of best, any_goal seen, best node id in the stashed tree]
+    _RSCORE0 = (0.0, 1.0, np.inf, 1.0, 0.0, 0.0)
+
+    def _get_restart_chunk(self, xrand_gen, n_fpr: int):
+        """Fused-restart chunk: the ENTIRE anytime restart-stash policy runs
+        on device (VERDICT r3 items 1/5 — the host-loop restart cost a sync
+        + two dispatch round trips per restart AND, with rounds_per_chunk >
+        rounds-to-fill, dispatched rounds against an already-full tree that
+        committed nothing).
+
+        Key invariant: with commit_all (core/commit.py), a fresh tree's size
+        grows by exactly ``batch`` per round, so the round at which it fills
+        is STATIC: F = ceil((capacity-1)/batch).  A chunk therefore runs
+        ``n_cycles`` fixed cycles of [F grow rounds -> stash-compare ->
+        reseed], with zero data-dependent control flow:
+
+        * stash-compare: score the filled tree ((goal?, time | cost), the
+          same key _score_tree uses) and keep the better of (cur, best) via
+          a full-tree select — predictable ~0.5 ms every F rounds, instead
+          of a host sync + seed dispatch + pipeline bubble per restart.
+        * informed pool: refreshed IN-CHUNK from the new incumbent when it
+          improves and reaches the goal (same policy as the host loop, with
+          zero staleness); the pool and the score ride the chunk carry.
+        * reseed: row 0 (the root) is never overwritten by commits, so a
+          reseed is just size=1 + goal_found=in_goal[0] + child-count clear
+          — no 150 MB re-init dispatch.
+
+        chunk(cur, best, pool, score, base_key, start, goal, sample_space,
+              goal_bias, bias_target, *extra) -> (cur, best, pool, score)
+        where extra = [prev_plan (FPR)] + [feas_data].  ``score`` is layout
+        _RSCORE0; the host reads it as the per-chunk stats vector.
+        """
+        key = (self.constraints._feasibility_version, xrand_gen, n_fpr,
+               "restart")
+        if key in self._chunk_cache:
+            return self._chunk_cache[key]
+
+        from .core.rounds import commit_candidates, make_expand
+        from .ops.angles import wrap_angle
+
+        B = self.batch_size
+        spec = RoundSpec(
+            nstates=self.nstates, ncontrols=self.ncontrols, batch=B,
+            horizon_steps=self.horizon_steps, capacity=self.capacity,
+            dt=self.dt, nn_block=self.nn_block, slack=self.slack,
+            commit_all=True)
+        F = -(-(self.capacity - 1) // B)          # rounds to fill
+        n_cycles = max(1, self.rounds_per_chunk // F)
+        self._restart_chunk_shape = (n_cycles, F)
+        wrap_mask = self._wrap_mask()
+        nearest_fn = self._nearest_override()
+        steer_builder = self._steer_builder()
+        user_feas = self.constraints.is_feasible
+        uses_data = self.constraints.feasibility_data is not None
+        informed_on = xrand_gen is None and self.informed > 0.0
+        inf_frac = float(self.informed)
+        inf_scale = 0.05          # fixed: annealing is measured-harmful
+        pool_fn = self._pool_fn()
+        mesh = self.mesh
+        if mesh is not None:
+            from .parallel.sharded import (gather_candidates, mesh_axis_size,
+                                           shard_map)
+            n_dev = mesh_axis_size(mesh, self.mesh_axis)
+        else:
+            n_dev = 1
+        local_b = B // n_dev
+
+        def device_fn(cur, best, pool, score, base_key, start, goal,
+                      sample_space, goal_bias, bias_target, *extra):
+            ex = list(extra)
+            feas = user_feas
+            if uses_data:
+                data = ex.pop()
+                feas = lambda x, u: user_feas(x, u, data)  # noqa: E731
+            prev_plan = ex.pop(0) if n_fpr > 0 else None
+            sfn = steer_builder(feas) if steer_builder is not None else None
+            expand = make_expand(spec, self.dynamics, self.lqr, self.erf,
+                                 feas, self.error_tol,
+                                 self.constraints.goal_buffer,
+                                 wrap_mask=wrap_mask, saturate=self.saturate,
+                                 nearest_fn=nearest_fn, steer_fn=sfn)
+
+            def base_sample(kk, nb, pool_c, frac):
+                fresh = sample_batch(kk, nb, sample_space, goal_bias,
+                                     bias_target)
+                if not informed_on:
+                    return fresh
+                k2, k3 = jax.random.split(jax.random.fold_in(kk, 1))
+                r = jax.random.randint(k2, (nb,), 0, pool_c.shape[0])
+                scale = (sample_space[:, 1] - sample_space[:, 0]) * inf_scale
+                noisy = pool_c[r] + jax.random.normal(k3, fresh.shape) * scale
+                if wrap_mask is not None:
+                    noisy = jnp.where(jnp.asarray(wrap_mask),
+                                      wrap_angle(noisy), noisy)
+                noisy = jnp.clip(noisy, sample_space[:, 0],
+                                 sample_space[:, 1])
+                take = jnp.arange(nb) < frac * nb
+                return jnp.where(take[:, None], noisy, fresh)
+
+            def draw(kk, pool_c, frac):
+                if xrand_gen is not None:
+                    return xrand_gen(kk, local_b)
+                if n_fpr > 0:
+                    n_take = min(max(n_fpr // n_dev, 1), local_b - 1)
+                    k1, k2 = jax.random.split(kk)
+                    fresh = base_sample(k1, local_b - n_take, pool_c, frac)
+                    rows = jax.random.randint(k2, (n_take,), 0,
+                                              prev_plan.shape[0])
+                    return jnp.concatenate([prev_plan[rows], fresh], 0)
+                return base_sample(kk, local_b, pool_c, frac)
+
+            def grow(cur_t, k, pool_c, frac):
+                if mesh is not None:
+                    k = jax.random.fold_in(
+                        k, jax.lax.axis_index(self.mesh_axis))
+                xrand = draw(k, pool_c, frac)
+                cand = expand(cur_t, xrand, goal)
+                if mesh is not None:
+                    cand = gather_candidates(cand, self.mesh_axis)
+                return commit_candidates(spec, cur_t, cand)
+
+            def cycle(carry, c):
+                cur_t, best_t, pool_c, sc = carry
+                # informed fraction from the CURRENT incumbent (no staleness)
+                frac = (jnp.where((sc[0] > 0.5) & (sc[1] < 0.5),
+                                  inf_frac, 0.0) if informed_on else 0.0)
+
+                def one(i, t):
+                    k = jax.random.fold_in(base_key, start + c * F + i)
+                    return grow(t, k, pool_c, frac)
+
+                cur_t = jax.lax.fori_loop(0, F, one, cur_t)
+                # ---- stash-compare (same key as _score_tree) ----
+                b = best_node(cur_t)
+                gf = cur_t.goal_found
+                s1 = 1.0 - gf.astype(jnp.float32)
+                s2 = jnp.where(gf, cur_t.node_time[b], cur_t.goal_cost[b])
+                improved = ((sc[0] < 0.5) | (s1 < sc[1])
+                            | ((s1 == sc[1]) & (s2 < sc[2])))
+                live = (jnp.sum((cur_t.edge_len >= 1) & cur_t.valid_mask(),
+                                dtype=jnp.int32) + 1).astype(jnp.float32)
+                best_t = jax.tree.map(
+                    lambda cu, be: jnp.where(improved, cu, be), cur_t,
+                    best_t)
+                new_sc = jnp.stack([
+                    jnp.maximum(sc[0], 1.0),
+                    jnp.where(improved, s1, sc[1]),
+                    jnp.where(improved, s2, sc[2]),
+                    jnp.where(improved, live, sc[3]),
+                    jnp.maximum(sc[4], gf.astype(jnp.float32)),
+                    jnp.where(improved, b.astype(jnp.float32), sc[5])])
+                if informed_on:
+                    refresh = improved & gf
+                    pool_c = jnp.where(refresh, pool_fn(cur_t, b), pool_c)
+                # ---- reseed: root row 0 is never overwritten by commits ----
+                cur_t = cur_t._replace(
+                    size=jnp.asarray(1, jnp.int32),
+                    goal_found=cur_t.in_goal[0],
+                    n_children=jnp.zeros_like(cur_t.n_children))
+                return (cur_t, best_t, pool_c, new_sc), None
+
+            (cur, best, pool, score), _ = jax.lax.scan(
+                cycle, (cur, best, pool, score),
+                jnp.arange(n_cycles, dtype=jnp.int32))
+            # stats ride out as a DISTINCT buffer: the carry score is donated
+            # into the next chunk while the host still holds last chunk's
+            # stats for the (pipelined, one-chunk-stale) break checks
+            return cur, best, pool, score, score + 0.0
+
+        if mesh is None:
+            fn = jax.jit(device_fn, donate_argnums=(0, 1, 2, 3))
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            from .parallel.sharded import shard_map
+            rep = P()
+            n_args = (10 + (1 if n_fpr > 0 else 0) + (1 if uses_data else 0))
+            fn = shard_map(device_fn, mesh=mesh, in_specs=(rep,) * n_args,
+                           out_specs=(rep,) * 5, check_vma=False)
+            fn = jax.jit(fn, donate_argnums=(0, 1, 2, 3))
+        self._chunk_cache[key] = fn
+        return fn
+
     def _score_tree(self, tree) -> tuple:
         """(orderable plan-quality key, best node id) for a tree, ONE tiny
         device fetch: goal trees first (shorter best goal time wins), then
@@ -621,6 +882,38 @@ class Planner:
 
     _POOL_DEPTH = 64   # chain-walk cap for the on-device informed pool
 
+    def _pool_fn(self):
+        """Traceable pool(t, best) -> (_FPR_PLAN_LEN, n) states along the
+        best node's root chain — shared by the host-loop refresh
+        (_plan_pool_device) and the fused-restart chunk's in-chunk refresh."""
+        D, P = self._POOL_DEPTH, _FPR_PLAN_LEN
+        H = self.horizon_steps
+
+        def pool(t, best):
+            def step(cur, _):
+                nxt = jnp.where(cur >= 0, t.parent[cur], -1)
+                return nxt, cur
+            _, ids = jax.lax.scan(step, best.astype(jnp.int32), None,
+                                  length=D)              # leaf-first
+            safe = jnp.clip(ids, 0, t.state.shape[0] - 1)
+            # time-major storage: gather on the node axis, then bring
+            # the chain axis up front (tiny: D*H rows)
+            ex = jnp.transpose(t.edge_x[:, :, safe], (2, 0, 1))  # (D,H,n)
+            el = t.edge_len[safe]
+            mask = ((jnp.arange(H)[None, :] < el[:, None])
+                    & (ids >= 0)[:, None])
+            flat = ex.reshape(D * H, -1)
+            fm = mask.reshape(D * H)
+            cs = jnp.cumsum(fm)
+            total = jnp.maximum(cs[-1], 1)
+            # P evenly spaced valid entries (root state excluded; the
+            # pool is a sampling bias target, exact coverage is moot)
+            want = (jnp.arange(P) * total) // P + 1
+            pos = jnp.searchsorted(cs, want)
+            return flat[jnp.clip(pos, 0, D * H - 1)]
+
+        return pool
+
     def _plan_pool_device(self, tree, best: int):
         """(_FPR_PLAN_LEN, n) pool of states along the best node's root
         chain, built ENTIRELY on device (one jitted program, result stays a
@@ -628,33 +921,7 @@ class Planner:
         pipelined host loop — a host-side extraction here cost ~5% of
         headline throughput per improvement."""
         if getattr(self, "_pool_jit", None) is None:
-            D, P = self._POOL_DEPTH, _FPR_PLAN_LEN
-            H = self.horizon_steps
-
-            def pool(t, best):
-                def step(cur, _):
-                    nxt = jnp.where(cur >= 0, t.parent[cur], -1)
-                    return nxt, cur
-                _, ids = jax.lax.scan(step, best.astype(jnp.int32), None,
-                                      length=D)              # leaf-first
-                safe = jnp.clip(ids, 0, t.state.shape[0] - 1)
-                # time-major storage: gather on the node axis, then bring
-                # the chain axis up front (tiny: D*H rows)
-                ex = jnp.transpose(t.edge_x[:, :, safe], (2, 0, 1))  # (D,H,n)
-                el = t.edge_len[safe]
-                mask = ((jnp.arange(H)[None, :] < el[:, None])
-                        & (ids >= 0)[:, None])
-                flat = ex.reshape(D * H, -1)
-                fm = mask.reshape(D * H)
-                cs = jnp.cumsum(fm)
-                total = jnp.maximum(cs[-1], 1)
-                # P evenly spaced valid entries (root state excluded; the
-                # pool is a sampling bias target, exact coverage is moot)
-                want = (jnp.arange(P) * total) // P + 1
-                pos = jnp.searchsorted(cs, want)
-                return flat[jnp.clip(pos, 0, D * H - 1)]
-
-            self._pool_jit = jax.jit(pool)
+            self._pool_jit = jax.jit(self._pool_fn())
         return self._pool_jit(tree, jnp.asarray(best, jnp.int32))
 
     def _get_seed_tree(self):
@@ -728,7 +995,13 @@ class Planner:
         self.update_plan(x0, sample_space, goal_bias=goal_bias, guide=guide,
                          xrand_gen=xrand_gen, pruning=pruning,
                          specific_time=0.05)
-        if self.refine and self._device_tree is not None:
+        fused = (self.refine
+                 and min(self.max_nodes, self.capacity) >= self.capacity
+                 and self.feasibility_grid is None
+                 and self.slack >= self.batch_size)
+        if self.refine and self._device_tree is not None and not fused:
+            # host-loop restart path only: the fused chunk carries its own
+            # score/pool, compiled by the update_plan call above
             self._score_tree(self._device_tree)   # compile the stash score
             if xrand_gen is None and self.informed > 0.0:
                 jax.block_until_ready(               # compile the pool walk
@@ -788,6 +1061,20 @@ class Planner:
             self._feas_args = (feas_data,)
         else:
             self._feas_args = ()
+
+        # Fused-restart fast path: when anytime restarts apply (stop is the
+        # HBM capacity, no sharded grid, dense-commit slack), the whole
+        # restart-stash policy runs ON DEVICE inside the chunk
+        # (_get_restart_chunk) — no host sync, no seed dispatch, no wasted
+        # post-fill rounds.  The host loop below remains for grid mode,
+        # refine=False, and explicit max_nodes below capacity.
+        node_cap = min(self.max_nodes, self.capacity)
+        if (self.refine and node_cap >= self.capacity
+                and self.feasibility_grid is None
+                and self.slack >= self.batch_size):
+            return self._run_restart_loop(
+                x0, sample_space, goal_bias, bias_target, t_min, t_max,
+                xrand_gen, n_fpr, list(extra), pruning, finish_on_goal)
 
         # Informed-restart pool (traced, inert at frac 0.0 until a restart
         # stashes a goal incumbent; refreshed in the restart branch below).
@@ -949,6 +1236,91 @@ class Planner:
         self.stats = dict(
             nodes=n_live, tree_rows=size, rounds=rounds, restarts=restarts,
             elapsed_s=elapsed,
+            expansions=rounds * self.batch_size,
+            expansions_per_s=rounds * self.batch_size / max(elapsed, 1e-9),
+            goal_found=goal_reached, plan_steps=len(self.x_seq),
+            plan_duration_s=self.T,
+            total_s=self.sys_time() - t0)
+        if self.printing:
+            print(f"[lqrrt] done: {n_live} nodes, "
+                  f"{rounds} rounds in {elapsed:.3f}s "
+                  f"({self.stats['expansions_per_s']:.0f} expansions/s), "
+                  f"goal={'yes' if goal_reached else 'no'}")
+        if self.on_replan is not None:
+            self.on_replan(dict(self.stats))
+        return goal_reached
+
+    def _run_restart_loop(self, x0, sample_space, goal_bias, bias_target,
+                          t_min, t_max, xrand_gen, n_fpr: int, extra,
+                          pruning: bool, finish_on_goal: bool) -> bool:
+        """Anytime loop over fused-restart chunks (_get_restart_chunk): the
+        host only dispatches chunks and reads one tiny stats vector per
+        chunk, one chunk stale — every restart decision happens on device."""
+        chunk_fn = self._get_restart_chunk(xrand_gen, n_fpr)
+        n_cycles, F = self._restart_chunk_shape
+        seed = self._get_seed_tree()
+        gbuf = self.constraints.goal_buffer
+        cur = seed(x0, self.goal, gbuf)
+        best = seed(x0, self.goal, gbuf)
+        if self.mesh is not None:
+            from .parallel.sharded import replicate_tree
+            cur = replicate_tree(cur, self.mesh)
+            best = replicate_tree(best, self.mesh)
+        pool = jnp.asarray(np.linspace(np.asarray(x0), np.asarray(self.goal),
+                                       _FPR_PLAN_LEN, dtype=np.float32))
+        score = jnp.asarray(self._RSCORE0, jnp.float32)
+        self._key, base = jax.random.split(self._key)
+        t0 = self.sys_time()
+        rounds = 0
+        restarts = 0
+        any_goal = False
+        pending = None
+        if self.printing:
+            print(f"[lqrrt] planning: budget [{t_min}, {t_max}]s, "
+                  f"batch {self.batch_size} x {n_cycles}x{F} "
+                  f"rounds/chunk (fused restarts), "
+                  f"capacity {self.capacity}")
+        while True:
+            elapsed = self.sys_time() - t0
+            if self._killed:
+                if self.printing:
+                    print("[lqrrt] killed; salvaging best-so-far")
+                break
+            if elapsed >= t_max:
+                break
+            if any_goal and elapsed >= t_min:
+                break
+            cur, best, pool, score, stats = chunk_fn(
+                cur, best, pool, score, base, rounds, self.goal,
+                sample_space, goal_bias, bias_target, *extra)
+            rounds += n_cycles * F
+            restarts += n_cycles
+            if pending is not None:   # one-chunk-stale, overlapped fetch
+                any_goal = bool(np.asarray(pending)[4] > 0.5)
+            pending = stats
+        st = (np.asarray(pending) if pending is not None
+              else np.asarray(self._RSCORE0, np.float32))
+        elapsed = self.sys_time() - t0
+
+        self._device_tree = best
+        self.tree = None
+        goal_reached = bool(st[4] > 0.5)
+        n_live = int(st[3])
+        best_id = int(st[5])         # carried from the stash — no dispatch
+        x_seq, u_seq = self._extract(best, best_id)
+        if pruning and len(x_seq) > 2:
+            x_seq, u_seq = self._prune(best, x_seq, u_seq)
+        if finish_on_goal and goal_reached:
+            x_seq, u_seq = self._finish_on_goal(x_seq, u_seq)
+
+        x_seq = np.asarray(x_seq, np.float32)
+        u_seq = np.asarray(u_seq, np.float32)
+        self._plan = (x_seq, u_seq, self.dt * (len(x_seq) - 1))  # atomic swap
+        self.plan_reached_goal = goal_reached
+        self.stats = dict(
+            nodes=n_live,
+            tree_rows=(self.capacity if st[0] > 0.5 else 1),
+            rounds=rounds, restarts=restarts, elapsed_s=elapsed,
             expansions=rounds * self.batch_size,
             expansions_per_s=rounds * self.batch_size / max(elapsed, 1e-9),
             goal_found=goal_reached, plan_steps=len(self.x_seq),

@@ -65,21 +65,39 @@ class Tree:
 
         Fields are assembled directly (one device_get, one state copy) —
         replaying add_node would vstack per node, O(size^2) copies for a
-        32k-node tree."""
+        32k-node tree.
+
+        The sort-free commit (commit_batch_dense_all) stores empty-rollout
+        candidates as inert zero-length duplicates of their parent; the
+        reference tree model has no such rows, so the snapshot COMPACTS them
+        out, remapping any child of a dead row to its nearest live
+        equivalent — exact, because a dead row's state IS its parent's."""
         import jax
         host = jax.device_get(arrays)
         size = int(host.size)
+        lens = np.asarray(host.edge_len[:size], np.int64)
+        parent = np.asarray(host.parent[:size], np.int64)
+        keep = lens > 0
+        keep[0] = True
+        # dead row -> nearest live ancestor-equivalent (parents always
+        # precede children in commit order, so one forward pass suffices)
+        equiv = np.arange(size)
+        for i in range(1, size):
+            if not keep[i]:
+                equiv[i] = equiv[parent[i]]
+        new_idx = np.cumsum(keep) - 1          # kept-row renumbering
+        rows = np.flatnonzero(keep)
+
         t = cls(host.state[0], (host.S[0], host.K[0]))
-        t.state = np.asarray(host.state[:size], np.float32).copy()
-        t.lqr = [(host.S[i], host.K[i]) for i in range(size)]
-        lens = [int(host.edge_len[i]) for i in range(size)]
+        t.state = np.asarray(host.state[rows], np.float32).copy()
+        t.lqr = [(host.S[i], host.K[i]) for i in rows]
         # device edge storage is time-major (H, ·, N); slice per node
         t.x_seq = [t.state[:1].copy()] + [
             np.asarray(host.edge_x[:lens[i], :, i], np.float32)
-            for i in range(1, size)]
+            for i in rows[1:]]
         t.u_seq = [np.zeros((0, 0), np.float32)] + [
             np.asarray(host.edge_u[:lens[i], :, i], np.float32)
-            for i in range(1, size)]
-        t.pID = [-1] + [int(p) for p in host.parent[1:size]]
-        t.size = size
+            for i in rows[1:]]
+        t.pID = [-1] + [int(new_idx[equiv[parent[i]]]) for i in rows[1:]]
+        t.size = len(rows)
         return t

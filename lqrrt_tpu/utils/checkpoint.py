@@ -89,12 +89,19 @@ def load(planner, path: str):
                     kwargs[f] = jnp.transpose(kwargs[f], (1, 2, 0))
             if "n_children" not in kwargs:
                 # 2 -> 3 migration: checkpoints written before child counting
-                # existed — reconstruct counts from the parent array (exact)
+                # existed — reconstruct counts from the parent array (exact).
+                # Only rows with a real incoming edge count: commit_all-era
+                # trees store zero-length duplicate rows that never
+                # contribute (pre-commit_all trees have no such rows, so the
+                # mask is a no-op there).
                 parent = np.asarray(kwargs["parent"])
+                edge_len = np.asarray(kwargs["edge_len"])
                 size = int(np.asarray(kwargs["size"]))
                 counts = np.zeros(parent.shape[0], np.int32)
-                live = parent[:size]
-                np.add.at(counts, live[live >= 0], 1)
+                rows = np.arange(size)
+                ok = (rows >= 1) & (edge_len[:size] >= 1) & \
+                    (parent[:size] >= 0)
+                np.add.at(counts, parent[:size][ok], 1)
                 kwargs["n_children"] = jnp.asarray(counts)
             planner._device_tree = TreeArrays(**kwargs)
             planner.tree = None

@@ -81,6 +81,36 @@ def main():
     assert size > 1, size
     print(f"ROUND_OK {pid} {size}", flush=True)
 
+    # --- FULL Planner.update_plan across the process boundary (VERDICT r3
+    # item 3): the chunked anytime facade — fused on-device restarts,
+    # candidate sharding over (host, dp), best-edge all-gather over DCN+ICI,
+    # extraction — must commit BIT-IDENTICAL plans in both processes.  The
+    # injected clock is call-counted, so both processes execute the exact
+    # same number of chunks (wall-clock divergence would deadlock the
+    # collectives — this is precisely the host-loop logic only a real
+    # cross-process run can validate). ---
+    import lqrrt_tpu
+
+    calls = {"n": 0}
+
+    def clock():
+        calls["n"] += 1
+        return 0.0 if calls["n"] <= 6 else 1e9
+
+    planner = lqrrt_tpu.Planner(
+        prob["dynamics"], prob["lqr"], prob["constraints"],
+        horizon=prob["horizon"], dt=prob["dt"], goal0=prob["goal"],
+        printing=False, batch_size=8 * n_global, capacity=256, nn_block=128,
+        saturate=prob["saturate"], seed=3, mesh=mesh,
+        mesh_axis=("host", "dp"), rounds_per_chunk=4)
+    planner.sys_time = clock
+    reached = planner.update_plan(prob["x0"], prob["sample_space"],
+                                  goal_bias=0.2, pruning=False)
+    xs = np.asarray(planner.x_seq, np.float64)
+    digest = (int(reached), len(xs), planner.stats["nodes"],
+              round(float(np.abs(xs).sum()), 3))
+    print(f"PLAN_OK {pid} {digest}", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -45,6 +45,12 @@ def test_two_process_distributed_round():
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
         assert f"PSUM_OK {i}" in out, out
         assert f"ROUND_OK {i}" in out, out
+        assert f"PLAN_OK {i}" in out, out
     # both processes agree on the committed tree size
     sizes = {o.split("ROUND_OK")[1].split()[1] for o in outs}
     assert len(sizes) == 1, outs
+    # and the FULL update_plan facade commits an identical plan in both
+    # processes (reached flag, plan length, node count, plan digest)
+    digests = {o.split("PLAN_OK")[1].split(maxsplit=1)[1].strip()
+               for o in outs}
+    assert len(digests) == 1, outs

@@ -128,3 +128,32 @@ def test_tpu_planner_matches_oracle_quality():
     dur_t = planner.T
     assert dur_t <= 2.0 * dur_o + 1.0, (
         f"TPU plan {dur_t}s much worse than oracle {dur_o}s")
+
+
+def test_oracle_goal_entry_truncation():
+    """goal_entry_trunc=True stops every steer at its first in-goal step —
+    the rollout that crosses the goal box ends inside it, matching the TPU
+    planner's fused goal stop (VERDICT r3 item 4: truncation-matched
+    oracle for apples-to-apples quality ratios)."""
+    orc, prob = _di_oracle()
+    orc.goal_entry_trunc = True
+    orc.is_feasible = lambda x, u: True       # clear workspace for the steer
+    orc.horizon_steps = 400
+    # velocity-tolerant goal box: a pass-through rollout carries speed, so
+    # entry requires loose velocity bounds (like the boat's goal_buffer)
+    orc.goal_buffer = np.array([0.3, 0.3, 50.0, 50.0])
+    goal = np.array([1.0, 0.0, 0.0, 0.0])    # nearby goal on a clear line
+    gb = orc.goal_buffer
+    # steer THROUGH the goal: target far past it on the same line
+    x0 = np.zeros(4)
+    _, K = orc.lqr(x0, None)
+    xtar = np.array([4.0, 0.0, 0.0, 0.0])
+    xs, us, xnew = orc._steer(x0, K, xtar, goal)
+    inside = np.all(np.abs(goal - xs) <= gb, axis=1)
+    assert inside.any(), "rollout never entered the goal box"
+    # truncated exactly at first entry: last step inside, none before it
+    assert inside[-1]
+    assert int(np.argmax(inside)) == len(xs) - 1
+    # and the untruncated steer keeps going past the box
+    xs2, _, _ = orc._steer(x0, K, xtar)
+    assert len(xs2) > len(xs)

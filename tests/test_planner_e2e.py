@@ -355,8 +355,9 @@ def test_dynamic_obstacles_zero_recompile():
                                   specific_time=2.0)
     assert reached
     # refine chunks may lazily compile whenever the tree hits capacity; only
-    # a new GROW variant would indicate a feasibility retrace
-    n_compiled = sum(1 for k in planner._chunk_cache if k[3] == "grow")
+    # a new grow/restart variant would indicate a feasibility retrace
+    n_compiled = sum(1 for k in planner._chunk_cache
+                     if k[3] in ("grow", "restart"))
     assert n_compiled == 1
 
     def min_clearance(p, c, r):
@@ -374,7 +375,7 @@ def test_dynamic_obstacles_zero_recompile():
                                   specific_time=2.0)
     assert reached
     assert sum(1 for k in planner._chunk_cache
-               if k[3] == "grow") == n_compiled  # zero new grow variants
+               if k[3] in ("grow", "restart")) == n_compiled  # zero retraces
     assert min_clearance(planner, data1["centers"][0], 0.7) > 0.0
     # and the new plan respects the NEW field, which the old one need not
     assert planner.plan_reached_goal

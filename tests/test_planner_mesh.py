@@ -130,7 +130,8 @@ def test_mesh_planner_fpr_and_kill(prob):
     planner = _mk_planner(prob, mesh=mesh, FPR=0.25, batch=64,
                           rounds_per_chunk=2)
     def n_grow_chunks():
-        return sum(1 for k in planner._chunk_cache if k[3] == "grow")
+        return sum(1 for k in planner._chunk_cache
+                   if k[3] in ("grow", "restart"))
 
     planner.update_plan(prob["x0"], prob["sample_space"], goal_bias=0.2,
                         pruning=False, specific_time=1.0)
@@ -182,8 +183,9 @@ def test_mesh_planner_dynamic_obstacle_data(prob):
         mesh=mesh)
     def n_grow():
         # refine chunks may lazily compile whenever the tree hits capacity;
-        # only a new GROW variant would indicate a feasibility retrace
-        return sum(1 for k in planner._chunk_cache if k[3] == "grow")
+        # only a new grow/restart variant would indicate a feasibility retrace
+        return sum(1 for k in planner._chunk_cache
+                   if k[3] in ("grow", "restart"))
 
     assert planner.update_plan(base["x0"], base["sample_space"],
                                goal_bias=0.2, specific_time=2.0)

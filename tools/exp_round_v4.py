@@ -101,28 +101,43 @@ def main():
     time_chunk("base", base)
     time_chunk("all", base._replace(commit_all=True))
 
-    # --- isolated steer, unroll sweep ---
-    x0 = jnp.tile(jnp.asarray(prob["x0"])[None], (BATCH, 1))
-    Kb = jnp.tile(K0[None], (BATCH, 1, 1))
-    xtar = jax.random.uniform(jax.random.PRNGKey(7), (BATCH, 6),
-                              minval=ss[:, 0], maxval=ss[:, 1])
-    for layout in ("b", "bt"):
-        for unroll in (2, 4, 8):
-            st = jax.jit(make_steer(
-                prob["dynamics"], prob["erf"],
-                prob["constraints"].is_feasible, H, 0.05, 0.05,
-                saturate=prob["saturate"],
-                goal_buffer=prob["constraints"].goal_buffer,
-                layout=layout, unroll=unroll))
-            out = st(x0, Kb, xtar, goal)
-            jax.block_until_ready(out)
-            t0 = time.perf_counter()
-            for _ in range(20):
-                out = st(x0, Kb, xtar, goal)
-            jax.block_until_ready(out)
-            ms = (time.perf_counter() - t0) / 20 * 1e3
-            results[f"steer_{layout}_u{unroll}"] = ms
-            print(f"steer layout={layout} unroll={unroll}: {ms:7.3f} ms")
+    # + the fused Pallas rollout kernel (ops/pallas/steer_kernel.py)
+    from lqrrt_tpu.ops.pallas.steer_kernel import make_steer_pallas
+    ksteer = make_steer_pallas(
+        prob["dynamics"], prob["erf"], prob["constraints"].is_feasible,
+        H, prob["dt"], 0.05, saturate=prob["saturate"],
+        goal_buffer=prob["constraints"].goal_buffer, interpret=interp)
+
+    def time_chunk_k(name, spec):
+        rf = make_round(spec, prob["dynamics"], prob["lqr"], prob["erf"],
+                        prob["constraints"].is_feasible, 0.05,
+                        prob["constraints"].goal_buffer, wrap_mask=wrap_mask,
+                        saturate=prob["saturate"], nearest_fn=nn,
+                        steer_fn=ksteer)
+
+        def chunk(tree, base_k):
+            def body(i, t):
+                return rf(t, jax.random.fold_in(base_k, i), goal, ss, gb,
+                          goal)
+            return jax.lax.fori_loop(0, RPC, body, tree)
+
+        cf = jax.jit(chunk, donate_argnums=(0,))
+        t = fresh_tree()
+        key = jax.random.PRNGKey(0)
+        for i in range(2):
+            t = cf(t, jax.random.fold_in(key, i))
+        t.size.block_until_ready()
+        t0 = time.perf_counter()
+        for i in range(CHUNKS):
+            t = cf(t, jax.random.fold_in(key, 100 + i))
+        t.size.block_until_ready()
+        dt_round = (time.perf_counter() - t0) / (CHUNKS * RPC)
+        results[name] = dict(round_ms=dt_round * 1e3,
+                             exp_per_s=BATCH / dt_round)
+        print(f"{name:12s}: {dt_round*1e3:7.3f} ms/round  "
+              f"({BATCH/dt_round:,.0f} exp/s)  size={int(t.size)}")
+
+    time_chunk_k("all+ksteer", base._replace(commit_all=True))
 
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "exp_round_v4.json")
