@@ -90,7 +90,8 @@ class Planner:
                  steer_impl: str = "scan",
                  mesh=None, mesh_axis: str = "dp",
                  collective: str = "gather", topk: Optional[int] = None,
-                 refine: bool = True, informed: float = 0.5,
+                 refine: bool = True, refine_mode: str = "restart",
+                 informed: float = 0.5,
                  informed_anneal: float = 1.0,
                  feasibility_grid=None, map_axis: str = "map"):
         if horizon <= 0 or dt <= 0:
@@ -213,6 +214,23 @@ class Planner:
         # core/rewire.py, which remains available for workloads where it
         # can).  VERDICT round 2 item 1.
         self.refine = bool(refine)
+        # refine_mode once the tree saturates capacity (VERDICT r3 item 6):
+        # "restart"     — anytime restart-stash (+ informed corridor
+        #                 sampling): the measured winner on workloads whose
+        #                 tree nodes carry velocities (boat/car/quad), where
+        #                 convergence-gated rewiring cannot fire (see the
+        #                 comment above).  Default.
+        # "leaf_rewire" — in-place refinement: leaf replacement
+        #                 (commit_batch_refine) + RRT*-style rewiring
+        #                 (core/rewire.py).  Effective on near-equilibrium
+        #                 workloads (e.g. double-integrator rest-to-rest)
+        #                 where steering between stored states converges.
+        if refine_mode not in ("restart", "leaf_rewire"):
+            raise ValueError(f"unknown refine_mode {refine_mode!r}")
+        if refine_mode == "leaf_rewire" and feasibility_grid is not None:
+            raise ValueError("refine_mode='leaf_rewire' is not supported "
+                             "with a sharded feasibility_grid")
+        self.refine_mode = refine_mode
         # informed restarts (VERDICT r2 item 1 mechanism (b)): once a
         # restart has stashed a goal-reaching incumbent, this fraction of
         # every subsequent sample batch is drawn from the incumbent plan's
@@ -1069,7 +1087,8 @@ class Planner:
         # post-fill rounds.  The host loop below remains for grid mode,
         # refine=False, and explicit max_nodes below capacity.
         node_cap = min(self.max_nodes, self.capacity)
-        if (self.refine and node_cap >= self.capacity
+        if (self.refine and self.refine_mode == "restart"
+                and node_cap >= self.capacity
                 and self.feasibility_grid is None
                 and self.slack >= self.batch_size):
             return self._run_restart_loop(
@@ -1141,50 +1160,62 @@ class Planner:
             if size >= node_cap:
                 if not refine_on:
                     break
-                # Anytime restart (SURVEY.md C2): stash this tree's handle if
-                # it carries the best plan so far, reseed, keep growing.  No
-                # copy needed — the stash keeps the only reference to the old
-                # buffers; donation only ever consumes the fresh seed tree.
-                # The stash score rides the chunk's OWN stats vector
-                # (_chunk_stats), so a restart costs zero extra dispatches:
-                # one fetch of the in-flight chunk's stats, one seed dispatch.
-                st = np.asarray(pending)
-                pending = None
-                size = int(st[0])
-                n_live = int(st[5])
-                goal_cur = bool(st[1] > 0.5)
-                key_cur = ((0, float(st[2])) if goal_cur
-                           else (1, float(st[3])))
-                best_id = int(st[4])
-                overall_goal |= goal_cur
-                improved = best_key is None or key_cur < best_key
-                if improved:
-                    best_stash, best_key, best_size = tree, key_cur, n_live
-                if (inf_slot is not None and improved and key_cur[0] == 0
-                        and (pool_time is None
-                             or key_cur[1] < pool_time - 0.05)):
-                    # refresh the informed pool from the new incumbent plan:
-                    # built ON DEVICE (chain walk + gather), result stays a
-                    # device array — zero host sync in the pipelined loop
-                    pool_time = key_cur[1]
-                    extra[inf_slot] = self._plan_pool_device(tree, best_id)
-                    extra[inf_slot + 1] = jnp.asarray(self.informed,
-                                                      jnp.float32)
-                    # optional corridor-noise annealing (default OFF:
-                    # measured on the boat, shrinking the noise as incumbents
-                    # improve kills the diversity that digs below the
-                    # plateau — 17.20 s vs 16.90 s at 15 chunks,
-                    # tools/exp_informed.py)
-                    inf_scale = max(self.informed_anneal * inf_scale,
-                                    0.015)
-                    extra[inf_slot + 2] = jnp.asarray(inf_scale, jnp.float32)
-                restarts += 1
-                tree = self._get_seed_tree()(x0, self.goal,
-                                             self.constraints.goal_buffer)
-                if self.mesh is not None:
-                    from .parallel.sharded import replicate_tree
-                    tree = replicate_tree(tree, self.mesh)
-                size, goal_found, pending = 1, False, None
+                if self.refine_mode == "leaf_rewire":
+                    # In-place refinement (VERDICT r3 item 6): the remaining
+                    # budget runs leaf-replacement + RRT* rewiring chunks on
+                    # the SAME full tree (no reseed) — the right mode for
+                    # near-equilibrium workloads where steering between
+                    # stored states converges (core/rewire.py).  Swap the
+                    # chunk variant (cached, idempotent) and fall through to
+                    # the normal pipelined dispatch + budget checks below.
+                    chunk_fn = self._get_chunk(xrand_gen, n_fpr,
+                                               commit="refine")
+                else:
+                    # Anytime restart (SURVEY.md C2): stash this tree's
+                    # handle if it carries the best plan so far, reseed, keep
+                    # growing.  No copy needed — the stash keeps the only
+                    # reference to the old buffers; donation only ever
+                    # consumes the fresh seed tree.  The stash score rides
+                    # the chunk's OWN stats vector (_chunk_stats), so a
+                    # restart costs zero extra dispatches: one fetch of the
+                    # in-flight chunk's stats, one seed dispatch.
+                    st = np.asarray(pending)
+                    pending = None
+                    size = int(st[0])
+                    n_live = int(st[5])
+                    goal_cur = bool(st[1] > 0.5)
+                    key_cur = ((0, float(st[2])) if goal_cur
+                               else (1, float(st[3])))
+                    best_id = int(st[4])
+                    overall_goal |= goal_cur
+                    improved = best_key is None or key_cur < best_key
+                    if improved:
+                        best_stash, best_key, best_size = tree, key_cur, n_live
+                    if (inf_slot is not None and improved and key_cur[0] == 0
+                            and (pool_time is None
+                                 or key_cur[1] < pool_time - 0.05)):
+                        # refresh the informed pool from the new incumbent plan:
+                        # built ON DEVICE (chain walk + gather), result stays a
+                        # device array — zero host sync in the pipelined loop
+                        pool_time = key_cur[1]
+                        extra[inf_slot] = self._plan_pool_device(tree, best_id)
+                        extra[inf_slot + 1] = jnp.asarray(self.informed,
+                                                          jnp.float32)
+                        # optional corridor-noise annealing (default OFF:
+                        # measured on the boat, shrinking the noise as incumbents
+                        # improve kills the diversity that digs below the
+                        # plateau — 17.20 s vs 16.90 s at 15 chunks,
+                        # tools/exp_informed.py)
+                        inf_scale = max(self.informed_anneal * inf_scale,
+                                        0.015)
+                        extra[inf_slot + 2] = jnp.asarray(inf_scale, jnp.float32)
+                    restarts += 1
+                    tree = self._get_seed_tree()(x0, self.goal,
+                                                 self.constraints.goal_buffer)
+                    if self.mesh is not None:
+                        from .parallel.sharded import replicate_tree
+                        tree = replicate_tree(tree, self.mesh)
+                    size, goal_found, pending = 1, False, None
             if elapsed >= t_max:
                 break
             if (goal_found or overall_goal) and elapsed >= t_min:
@@ -1221,13 +1252,19 @@ class Planner:
         self.tree = None  # host snapshot invalidated; rebuilt lazily
 
         goal_reached = bool(overall_goal or goal_found)
+        t_post = self.sys_time()
         best = int(best_node(tree))
         x_seq, u_seq = self._extract(tree, best)
+        t_extract = self.sys_time() - t_post
 
+        t_p = self.sys_time()
         if pruning and len(x_seq) > 2:
             x_seq, u_seq = self._prune(tree, x_seq, u_seq)
+        t_prune = self.sys_time() - t_p
+        t_f = self.sys_time()
         if finish_on_goal and goal_reached:
             x_seq, u_seq = self._finish_on_goal(x_seq, u_seq)
+        t_finish = self.sys_time() - t_f
 
         x_seq = np.asarray(x_seq, np.float32)
         u_seq = np.asarray(u_seq, np.float32)
@@ -1240,6 +1277,10 @@ class Planner:
             expansions_per_s=rounds * self.batch_size / max(elapsed, 1e-9),
             goal_found=goal_reached, plan_steps=len(self.x_seq),
             plan_duration_s=self.T,
+            # post-loop overhead itemization (VERDICT r3 item 7)
+            overhead_extract_s=t_extract, overhead_prune_s=t_prune,
+            overhead_finish_s=t_finish,
+            overhead_total_s=self.sys_time() - t_post,
             total_s=self.sys_time() - t0)
         if self.printing:
             print(f"[lqrrt] done: {n_live} nodes, "
@@ -1307,11 +1348,17 @@ class Planner:
         goal_reached = bool(st[4] > 0.5)
         n_live = int(st[3])
         best_id = int(st[5])         # carried from the stash — no dispatch
+        t_post = self.sys_time()
         x_seq, u_seq = self._extract(best, best_id)
+        t_extract = self.sys_time() - t_post
+        t_p = self.sys_time()
         if pruning and len(x_seq) > 2:
             x_seq, u_seq = self._prune(best, x_seq, u_seq)
+        t_prune = self.sys_time() - t_p
+        t_f = self.sys_time()
         if finish_on_goal and goal_reached:
             x_seq, u_seq = self._finish_on_goal(x_seq, u_seq)
+        t_finish = self.sys_time() - t_f
 
         x_seq = np.asarray(x_seq, np.float32)
         u_seq = np.asarray(u_seq, np.float32)
@@ -1325,6 +1372,10 @@ class Planner:
             expansions_per_s=rounds * self.batch_size / max(elapsed, 1e-9),
             goal_found=goal_reached, plan_steps=len(self.x_seq),
             plan_duration_s=self.T,
+            # post-loop overhead itemization (VERDICT r3 item 7)
+            overhead_extract_s=t_extract, overhead_prune_s=t_prune,
+            overhead_finish_s=t_finish,
+            overhead_total_s=self.sys_time() - t_post,
             total_s=self.sys_time() - t0)
         if self.printing:
             print(f"[lqrrt] done: {n_live} nodes, "
@@ -1386,7 +1437,10 @@ class Planner:
         """
         states, gains, edge_x, edge_u, edge_len = self._last_edges
         L = len(states)
-        if L <= 2:
+        if L <= 3:
+            # a 3-node chain admits only the 0->2 shortcut; the all-pairs
+            # batch + its fetches cost more than it can save (VERDICT r3
+            # item 7: trim post-loop replan overhead)
             return x_seq, u_seq
         M = _PRUNE_MAX
         W = min(L, M)

@@ -387,3 +387,50 @@ def test_feasibility_data_requires_ctor():
     import pytest
     with pytest.raises(ValueError, match="feasibility_data"):
         cons.set_feasibility_data({"x": np.zeros(3)})
+
+
+def test_leaf_rewire_mode_refines_past_capacity():
+    """refine_mode='leaf_rewire' (VERDICT r3 item 6): once the tree fills,
+    the budget runs leaf-replacement + rewiring chunks on the SAME tree —
+    the refine chunk variant must actually engage, the plan must stay
+    goal-reaching and feasible, and more budget must never lengthen the
+    committed plan (on the near-equilibrium double integrator, where
+    steering between stored states converges and rewiring can fire)."""
+    prob = di.default_problem()
+
+    def clock_factory(n_chunks):
+        state = {"n": 0}
+
+        def clock():
+            state["n"] += 1
+            return 0.0 if state["n"] <= n_chunks + 1 else 1e9
+        return clock
+
+    def run(n_chunks):
+        p = lqrrt_tpu.Planner(
+            prob["dynamics"], prob["lqr"], prob["constraints"],
+            horizon=prob["horizon"], dt=prob["dt"], goal0=prob["goal"],
+            printing=False, batch_size=64, capacity=256, nn_block=128,
+            saturate=prob["saturate"], seed=7, rounds_per_chunk=2,
+            refine_mode="leaf_rewire")
+        p.sys_time = clock_factory(n_chunks)
+        p.update_plan(prob["x0"], prob["sample_space"], goal_bias=0.2,
+                      pruning=False, specific_time=1.0)
+        return p
+
+    short = run(10)
+    long = run(40)
+    assert short.plan_reached_goal and long.plan_reached_goal
+    # the refine chunk variant was actually built and used
+    assert any(k[3] == "refine" for k in long._chunk_cache), \
+        list(long._chunk_cache)
+    assert long.stats["restarts"] == 0          # same tree, no reseeds
+    # identical prefix + in-place refinement => never worse with more budget
+    assert long.stats["plan_duration_s"] <= \
+        short.stats["plan_duration_s"] + 1e-6
+    # plan stays feasible end to end
+    import jax
+    feas = prob["constraints"].is_feasible
+    ok = np.asarray(jax.vmap(lambda x: feas(x, jnp.zeros(2)))(
+        jnp.asarray(np.asarray(long.x_seq))))
+    assert ok.all()

@@ -1,7 +1,7 @@
 """Phase-level timing of one expansion round at the bench operating point,
 plus a device-utilization artifact (SURVEY.md section 5.1; VERDICT round 2
 item 4): phase breakdown and achieved-FLOP/s vs the chip's peak for the NN
-kernel and the steer scan.  Writes PROFILE_JSON (default PROFILE_r03.json at
+kernel and the steer scan.  Writes PROFILE_JSON (default PROFILE_r04.json at
 the repo root) when run on a TPU.
 
 Times (jitted separately, fenced): sample, nearest (pallas + jnp), steer,
@@ -146,7 +146,7 @@ def main():
     steer = make_steer(prob["dynamics"], prob["erf"],
                        prob["constraints"].is_feasible, H, prob["dt"], 0.05,
                        saturate=prob["saturate"], goal_buffer=prob[
-                           "constraints"].goal_buffer)
+                           "constraints"].goal_buffer, layout="tm")
     pids, _ = nn_jnp(t.state, t.S, t.size, xrand)
     x0 = t.state[pids]; Kp = t.K[pids]
     steer_j = jax.jit(steer)
@@ -163,19 +163,53 @@ def main():
 
     res = steer_j(x0, Kp, xrand, goal)
     lqr_b = jax.jit(jax.vmap(prob["lqr"]))
-    u_last = res.u_seq[:, -1, :]
+    u_last = res.u_seq[-1, :, :].T              # time-major (H, m, B)
     ph["endpoint_lqr_ms"] = timeit(lqr_b, res.xnew, u_last) * 1e3
     print(f"  endpoint lqr:  {ph['endpoint_lqr_ms']:8.3f} ms")
 
-    from lqrrt_tpu.core.commit import commit_batch_dense
+    from lqrrt_tpu.core.commit import commit_batch_dense_all
     S_new, K_new = lqr_b(res.xnew, u_last)
     ing = jnp.zeros((BATCH,), bool)
     gc = jnp.zeros((BATCH,), jnp.float32)
-    com = jax.jit(lambda tr: commit_batch_dense(
+    com = jax.jit(lambda tr: commit_batch_dense_all(
         jax.tree.map(jnp.array, tr), spec.dt, spec.capacity, pids, res.length,
         res.x_seq, res.u_seq, res.xnew, S_new, K_new, ing, gc))
-    ph["commit_dense_ms"] = timeit(com, t) * 1e3
-    print(f"  commit(dense): {ph['commit_dense_ms']:8.3f} ms   (incl tree copy)")
+    ph["commit_all_ms"] = timeit(com, t) * 1e3
+    print(f"  commit(all):   {ph['commit_all_ms']:8.3f} ms   (incl tree copy)")
+
+    # --- the PRODUCTION path: one fused-restart chunk cycle, isolated ---
+    # (grow F rounds + on-device stash-compare + reseed; VERDICT r3 items
+    # 1/5 — the isolated-vs-headline gap table)
+    import lqrrt_tpu
+    planner = lqrrt_tpu.Planner(
+        prob["dynamics"], prob["lqr"], prob["constraints"],
+        horizon=prob["horizon"], dt=prob["dt"], goal0=prob["goal"],
+        printing=False, batch_size=BATCH, capacity=CAP,
+        wrap_dims=prob["wrap_dims"], saturate=prob["saturate"], seed=0)
+    chunk = planner._get_restart_chunk(None, 0)
+    n_cycles, F = planner._restart_chunk_shape
+    seedf = planner._get_seed_tree()
+    gbuf = planner.constraints.goal_buffer
+    cur = seedf(jnp.asarray(prob["x0"]), planner.goal, gbuf)
+    best = seedf(jnp.asarray(prob["x0"]), planner.goal, gbuf)
+    pool = jnp.zeros((256, 6))
+    score = jnp.asarray(planner._RSCORE0, jnp.float32)
+    out = chunk(cur, best, pool, score, key, 0, planner.goal, ss, gb,
+                planner.goal)
+    cur, best, pool, score, st_ = out
+    jax.block_until_ready(st_)
+    t0 = time.perf_counter()
+    R = 10
+    for i in range(R):
+        cur, best, pool, score, st_ = chunk(
+            cur, best, pool, score, key, i * n_cycles * F, planner.goal,
+            ss, gb, planner.goal)
+    jax.block_until_ready(st_)
+    per_round = (time.perf_counter() - t0) / (R * n_cycles * F) * 1e3
+    ph["restart_chunk_round_ms"] = per_round
+    ph["restart_chunk_exp_per_s"] = BATCH / per_round * 1e3
+    print(f"  fused-restart chunk: {per_round:8.3f} ms/round "
+          f"({BATCH/per_round*1e3:,.0f} exp/s incl stash+reseed)")
 
     dev = jax.devices()[0]
     ph["device"] = str(dev)
@@ -186,7 +220,7 @@ def main():
     if dev.platform == "tpu":
         out = os.environ.get("PROFILE_JSON", os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "PROFILE_r03.json"))
+            "PROFILE_r04.json"))
         with open(out, "w") as f:
             json.dump({k: (round(v, 4) if isinstance(v, float) else v)
                        for k, v in ph.items()}, f, indent=1)
