@@ -326,13 +326,19 @@ class FleetPlanner:
         tm["pair_build_s"] = time.time() - t0
         t0 = time.time()
         if getattr(self, "_gather_jit", None) is None:
-            # fleet trees are scenario-leading; edge storage per scenario is
-            # time-major (H, n, N) -> advanced indexing on (scenario, node)
-            # yields (P, H, n) directly
-            self._gather_jit = jax.jit(lambda t, si: (
-                t.state[si[:, 0], si[:, 1]],
-                t.edge_x[si[:, 0], :, :, si[:, 1]],
-                t.edge_len[si[:, 0], si[:, 1]]))
+            # Fleet trees are scenario-leading with TIME-MAJOR edge storage
+            # (S, H, n, N): gathering chain nodes on the MINOR axis reads
+            # ~H*n strided singles per row (measured 11.8 s for ~7.6k rows).
+            # Transpose to row-major once (bulk relayout at HBM speed; the
+            # barrier stops XLA from folding it back into the slow gather),
+            # then gather contiguous (H, n) blocks.
+            def gather(t, si):
+                ex = jax.lax.optimization_barrier(
+                    jnp.transpose(t.edge_x, (0, 3, 1, 2)))
+                return (t.state[si[:, 0], si[:, 1]],
+                        ex[si[:, 0], si[:, 1]],
+                        t.edge_len[si[:, 0], si[:, 1]])
+            self._gather_jit = jax.jit(gather)
         states, edge_x, edge_len = (
             np.asarray(a) for a in jax.device_get(
                 self._gather_jit(self.trees, jnp.asarray(pairs))))
