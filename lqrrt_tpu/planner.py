@@ -1388,9 +1388,62 @@ class Planner:
 
     # ------------------------------------------------- extraction & smoothing
 
+    _EXTRACT_DEPTH = 128   # fixed-depth device chain walk (host fallback)
+
     def _extract(self, tree: TreeArrays, best: int):
         """Climb best -> root and concatenate trimmed edge rollouts
-        (reference tree.climb + tree.trajectory, SURVEY.md C7/C8)."""
+        (reference tree.climb + tree.trajectory, SURVEY.md C7/C8).
+
+        ONE jitted program does the chain walk (fixed-depth parent scan),
+        the edge gathers, and the device-side transposes; ONE device_get
+        moves everything — the old host-side parent fetch + walk cost a
+        full-array transfer and an extra round trip per replan, a third of
+        the post-loop overhead on tunneled devices (VERDICT r3 item 7).
+        Chains deeper than _EXTRACT_DEPTH fall back to the host walk."""
+        if self._extract_jit is None:
+            D = self._EXTRACT_DEPTH
+
+            def ext(t, b):
+                def step(cur, _):
+                    nxt = jnp.where(cur >= 0, t.parent[cur], -1)
+                    return nxt, cur
+                _, leaf_first = jax.lax.scan(step, b.astype(jnp.int32),
+                                             None, length=D)
+                ids = leaf_first[::-1]          # root-first, -1 pad at front
+                safe = jnp.clip(ids, 0, t.state.shape[0] - 1)
+                # edge storage is time-major (H, ·, N): gather on the node
+                # axis, transpose the small (C, H, ·) result on device
+                return (ids, t.state[safe], t.K[safe],
+                        jnp.transpose(t.edge_x[:, :, safe], (2, 0, 1)),
+                        jnp.transpose(t.edge_u[:, :, safe], (2, 0, 1)),
+                        t.edge_len[safe])
+            self._extract_jit = jax.jit(ext)
+        out = jax.device_get(self._extract_jit(
+            tree, jnp.asarray(best, jnp.int32)))
+        ids, states, gains, edge_x, edge_u, edge_len = (
+            np.asarray(a) for a in out)
+        sel = np.flatnonzero(ids >= 0)
+        if len(sel) == 0 or ids[sel[0]] != 0:
+            return self._extract_host(tree, best)   # deeper than the walk
+        chain = ids[sel]
+        states, gains = states[sel], gains[sel]
+        edge_x, edge_u, edge_len = edge_x[sel], edge_u[sel], edge_len[sel]
+        self._last_chain = [int(i) for i in chain]
+        self._last_edges = (states, gains, edge_x, edge_u, edge_len)
+        xs = [states[0][None, :]]
+        us = []
+        for i in range(1, len(chain)):
+            ln = int(edge_len[i])
+            xs.append(edge_x[i][:ln])
+            us.append(edge_u[i][:ln])
+        x_seq = np.concatenate(xs, axis=0)
+        u_seq = (np.concatenate(us, axis=0) if us
+                 else np.zeros((0, self.ncontrols), np.float32))
+        return x_seq, u_seq
+
+    def _extract_host(self, tree: TreeArrays, best: int):
+        """Host-walk extraction fallback for chains deeper than the fixed
+        device walk (any depth; one parent-array fetch + one gather)."""
         parent = np.asarray(tree.parent)
         chain = []
         ID = best
@@ -1399,18 +1452,13 @@ class Planner:
             ID = int(parent[ID])
         chain = chain[::-1]
         self._last_chain = chain
-        # ONE jitted gather + ONE device->host transfer for the whole chain
-        # (separate per-array fetches pay a dispatch round trip each, which
-        # dominates extraction latency on remotely-attached devices)
-        if self._extract_jit is None:
-            # edge storage is time-major (H, ·, N): gather the chain on the
-            # node axis and transpose the small (C, H, ·) result on device
-            self._extract_jit = jax.jit(lambda t, ids: (
+        if getattr(self, "_extract_gather_jit", None) is None:
+            self._extract_gather_jit = jax.jit(lambda t, ids: (
                 t.state[ids], t.K[ids],
                 jnp.transpose(t.edge_x[:, :, ids], (2, 0, 1)),
                 jnp.transpose(t.edge_u[:, :, ids], (2, 0, 1)),
                 t.edge_len[ids]))
-        out = self._extract_jit(tree, jnp.asarray(chain, jnp.int32))
+        out = self._extract_gather_jit(tree, jnp.asarray(chain, jnp.int32))
         states, gains, edge_x, edge_u, edge_len = (
             np.asarray(a) for a in jax.device_get(out))
         self._last_edges = (states, gains, edge_x, edge_u, edge_len)
@@ -1455,8 +1503,11 @@ class Planner:
         steer = self._get_steer(M * M)
         res = steer(jnp.asarray(x0_flat), jnp.asarray(K_flat),
                     jnp.asarray(tgt_flat), *self._feas_args)
-        reached = np.asarray(res.reached).reshape(M, M)
-        length = np.asarray(res.length).reshape(M, M)
+        # one pytree device_get: the leaves transfer together instead of a
+        # blocking round trip each (VERDICT r3 item 7)
+        reached, length = jax.device_get((res.reached, res.length))
+        reached = np.asarray(reached).reshape(M, M)
+        length = np.asarray(length).reshape(M, M)
         if self.feasibility_grid is not None:
             # the shortcut steer checks only the local predicates; validate
             # candidate shortcuts against the FULL grid host-side (the
@@ -1488,11 +1539,11 @@ class Planner:
         steer_pairs = [(i, j) for kind, i, j in segs if kind == "steer"]
         if not steer_pairs:
             return x_seq, u_seq
-        # fetch only the chosen shortcut rollouts, one gather + transfer
+        # fetch only the chosen shortcut rollouts, one gather + one transfer
         flat_ids = jnp.asarray(
             np.array([i * M + j for i, j in steer_pairs], np.int32))
-        sx = np.asarray(res.x_seq[flat_ids])
-        su = np.asarray(res.u_seq[flat_ids])
+        sx, su = (np.asarray(a) for a in jax.device_get(
+            (res.x_seq[flat_ids], res.u_seq[flat_ids])))
         sl = {p: k for k, p in enumerate(steer_pairs)}
 
         xs = [states[0][None, :]]
