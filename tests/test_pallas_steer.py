@@ -89,3 +89,40 @@ def test_planner_e2e_with_forced_pallas_steer():
     assert reached
     e = np.abs(np.asarray(prob["goal"]) - p.x_seq[-1])
     assert np.all(e <= np.asarray(prob["constraints"].goal_buffer) + 1e-5)
+
+
+def test_pallas_tree_gather_steer_matches_scan():
+    """make_steer_pallas_tree (in-kernel one-hot parent gather; whole tree
+    buffers as operands) must match gathering outside + the scan steer."""
+    from lqrrt_tpu.models import boat
+    from lqrrt_tpu.ops.pallas.steer_kernel import make_steer_pallas_tree
+
+    prob = boat.default_problem()
+    H, N, B = 30, 256, 64
+    kw = dict(saturate=prob["saturate"],
+              goal_buffer=prob["constraints"].goal_buffer)
+    mkargs = (prob["dynamics"], prob["erf"],
+              prob["constraints"].is_feasible, H, 0.05, 0.05)
+    ref = jax.jit(make_steer(*mkargs, layout="tm", **kw))
+    tre = jax.jit(make_steer_pallas_tree(*mkargs, batch_tile=32,
+                                         node_block=64, interpret=True,
+                                         **kw))
+    key = jax.random.PRNGKey(0)
+    states = jax.random.uniform(key, (N, 6), minval=-2, maxval=2)
+    _, K0 = prob["lqr"](None, None)
+    Ks = jnp.tile(K0[None], (N, 1, 1)) * (
+        1 + 0.01 * jax.random.normal(key, (N, 1, 1)))
+    pids = jax.random.randint(jax.random.fold_in(key, 1), (B,), 0, N)
+    ss = jnp.asarray(prob["sample_space"])
+    xtar = jax.random.uniform(jax.random.fold_in(key, 2), (B, 6),
+                              minval=ss[:, 0], maxval=ss[:, 1])
+    goal = jnp.asarray(prob["goal"])
+    ra = ref(states[pids], Ks[pids], xtar, goal)
+    rb = tre(states, Ks, pids, xtar, goal)
+    for f in ("mask", "length", "reached", "in_goal"):
+        np.testing.assert_array_equal(np.asarray(getattr(ra, f)),
+                                      np.asarray(getattr(rb, f)), err_msg=f)
+    for f in ("x_seq", "u_seq", "xnew"):
+        np.testing.assert_allclose(np.asarray(getattr(ra, f)),
+                                   np.asarray(getattr(rb, f)),
+                                   rtol=1e-5, atol=1e-4, err_msg=f)
