@@ -22,7 +22,9 @@ jax-traceable; the framework vmaps them across the candidate batch.
 TPU-specific knobs are keyword-only extras: batch_size (candidates per round),
 capacity (tree array size), wrap_dims (angle dims wrapped in node storage),
 nn_block (NN scan tile), rounds_per_chunk (rounds fused per dispatch),
-nn_impl ("auto" | "pallas" | "jnp" nearest-neighbor backend), seed (PRNG).
+nn_impl ("auto" | "pallas" | "jnp" nearest-neighbor backend), steer_impl
+("scan" | "pallas" rollout backend), refine_mode ("restart" |
+"leaf_rewire" capacity-saturated refinement policy), seed (PRNG).
 
 FPR note: the reference's FPR parameter semantics could not be verified
 (SURVEY.md section 3.1 [LOW]); here FPR in [0, 1] is implemented as
