@@ -292,7 +292,7 @@ def make_nearest_pallas(block: int = 1024, wrap_dim: int | None = None,
 
 
 # ---------------------------------------------------------------------------
-# Constant-S specialization: exact VPU distance kernel
+# Constant-S specialization: MXU split-compensated distance kernel
 # ---------------------------------------------------------------------------
 #
 # When the user's lqr(x, u) is state-independent (one cost-to-go S for the
@@ -309,51 +309,102 @@ def make_nearest_pallas(block: int = 1024, wrap_dim: int | None = None,
 #
 #     cost = ||z - w||^2 - 4 pi k (p_j - q_b) + 4 pi^2 k^2 S_aa.
 #
-# Consequences vs the general bilinear kernel above: no (B x N) matmul at
-# all — per-pair work is ~n multiply-adds of DIRECT differences on the VPU,
-# exact in f32 with zero cancellation (no HIGHEST multi-pass, no centering),
-# and the second wrap-correction matmul disappears.  Measured ~3x faster at
-# n = 6, B = 8192, N = 16k live nodes, while being *more* accurate.
+# Implementation (round 5): the per-candidate-constant |w|^2 is dropped
+# inside the kernel (it cannot change the argmin; added back to the returned
+# cost), so the per-pair cost is BILINEAR:  c = |z_j|^2 - 2 w_b . z_j =
+# psi_b . phi_j with psi = [1, w], phi = [|z|^2, -2 z] — one K=(1+n) matmul
+# per tile on the MXU.  Round-4's kernel evaluated direct whitened diffs on
+# the VPU instead (exact, zero cancellation) but was VPU-BOUND at ~29
+# ops/pair = 2.9 ms composed at B = 8192, N = 40960 (exp_nn_hybrid_v5.py);
+# moving the distance to the MXU leaves only the wrap correction + argmin on
+# the VPU (~12 ops/pair) at 1.45 ms — 2x — at bench shapes.
+#
+# Precision: a plain bf16 MXU pass loses the argmin (id_match 0.41 vs the
+# f32 reference); Precision.HIGHEST (6-pass) is exact but eats the gain
+# (2.8 ms composed — no better than the VPU kernel it replaces).  We use a
+# 3-way SPLIT-COMPENSATED product: each operand splits into bf16 chunks
+# a = h + m + l (8 mantissa bits each, 24 total = full f32), and the six
+# product groups whose magnitude exceeds 2^-24 —
+#     hH + (hM + mH) + (hL + mM + lH)
+# — are evaluated as a SINGLE K-stacked matmul
+#     [h, h, m, h, m, l] @ [H; M; H; L; M; H]     (K = 6(1+n))
+# K pads to the MXU's native 128 anyway, so this costs the same as one
+# bf16 pass while matching f32 numerics (error ~2^-24 relative; measured
+# id_match vs the f32 reference identical to Precision.HIGHEST on
+# boat-scale data, at DEFAULT-pass speed — tools/exp_nn_hybrid_v5.py).
+# CAVEAT: the splits must be built with integer mantissa masking — this
+# backend forces --xla_allow_excess_precision=true, which folds the plain
+# f32(bf16(a)) convert pair back to `a` and silently collapses the
+# compensation (measured: identical results to the bf16 pass).
+#
+# Dead rows (>= size) are masked by POISONING the |z|^2 feature in prep
+# (1e30), which survives the matmul and can never win the argmin — no
+# per-pair index masking on the VPU.
 
 
-def _nn_const_kernel(size_ref, saa_ref, zT_ref, w_ref, cost_ref, idx_ref, *,
-                     blk: int, n: int, wrapped: bool):
+_POISON = 1e30
+
+
+def _bf16_round(a):
+    """Round-to-nearest-even bf16 of f32 ``a`` via integer ops (immune to
+    the excess-precision rewrite, see module comment).  Returned as f32,
+    exactly bf16-representable, so the MXU's operand truncation is lossless
+    on it."""
+    ai = jax.lax.bitcast_convert_type(a, jnp.uint32)
+    rounded = ai + 0x7FFF + ((ai >> 16) & 1)
+    return jax.lax.bitcast_convert_type(rounded & jnp.uint32(0xFFFF0000),
+                                        jnp.float32)
+
+
+def _bf16_split3(a):
+    """a == h + m + l with each part exactly bf16-representable (8 mantissa
+    bits per chunk, 24 total = full f32 coverage)."""
+    h = _bf16_round(a)
+    r = a - h
+    m = _bf16_round(r)
+    return h, m, r - m
+
+
+def _nn_const_kernel(size_ref, saa_ref, nodeT_ref, cand_ref, cost_ref,
+                     idx_ref, *, blk: int, KS: int, wrapped: bool):
     """One (candidate-tile, node-block) grid step of the constant-S kernel.
 
-    zT_ref: (R, blk) node block, rows [z_0..z_{n-1}, x_a, p] (pad rows zero).
-    w_ref:  (Bt, C) candidate tile, cols [w_0..w_{n-1}, r_a, q] (pad zero).
-    cost/idx: (Bt, 1) running best for this candidate tile (node axis minor).
+    nodeT_ref: (R, blk) node block; rows [0, KS) = K-stacked split node
+               features [H; M; H; L; M; H], row KS = node angle x_a, row
+               KS+1 = P = -4 pi (S x)_a.
+    cand_ref:  (Bt, 128) candidate tile; cols [0, KS) = K-stacked split
+               candidate features [h, h, m, h, m, l], col KS = r_a, col
+               KS+1 = Q = +4 pi (S r)_a.
+    cost/idx:  (Bt, 1) running best for this candidate tile (node axis
+               minor).
     """
     i = pl.program_id(1)
-    Bt = w_ref.shape[0]
+    Bt = cand_ref.shape[0]
 
     @pl.when(i == 0)
     def _():
-        cost_ref[:] = jnp.full_like(cost_ref, _INF)
+        cost_ref[:] = jnp.full_like(cost_ref, _POISON * 8.0)
         idx_ref[:] = jnp.zeros_like(idx_ref)
 
     @pl.when(i * blk < size_ref[0])
     def _():
-        c = jnp.zeros((Bt, blk), jnp.float32)
-        for d in range(n):
-            diff = zT_ref[d:d + 1, :] - w_ref[:, d:d + 1]
-            c = c + diff * diff
+        c = jax.lax.dot_general(
+            cand_ref[:, 0:KS], nodeT_ref[0:KS, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32)        # (Bt, blk)
         if wrapped:
-            x_a = zT_ref[n:n + 1, :]                   # (1, blk)
-            r_a = w_ref[:, n:n + 1]                    # (Bt, 1)
-            p = zT_ref[n + 1:n + 2, :]
-            q = w_ref[:, n + 1:n + 2]
-            k = jnp.round((x_a - r_a) / _TWO_PI)
-            c = (c - (2.0 * _TWO_PI) * k * (p - q)
-                 + (_TWO_PI * _TWO_PI * saa_ref[0]) * (k * k))
-
-        node_idx = i * blk + jax.lax.broadcasted_iota(
-            jnp.int32, (Bt, blk), 1)
-        c = jnp.where(node_idx < size_ref[0], c, _INF)
+            x_a = nodeT_ref[KS:KS + 1, :]              # (1, blk)
+            P = nodeT_ref[KS + 1:KS + 2, :]            # (1, blk)
+            r_a = cand_ref[:, KS:KS + 1]               # (Bt, 1)
+            Q = cand_ref[:, KS + 1:KS + 2]             # (Bt, 1)
+            k = jnp.round((x_a - r_a) * (1.0 / _TWO_PI))
+            c = c + k * (P + Q) + (_TWO_PI * _TWO_PI * saa_ref[0]) * (k * k)
 
         bc = jnp.min(c, axis=1, keepdims=True)
-        bi = (i * blk
-              + jnp.argmin(c, axis=1).astype(jnp.int32)[:, None])
+        io = jax.lax.broadcasted_iota(jnp.int32, (Bt, blk), 1)
+        bi = i * blk + jnp.min(jnp.where(c == bc, io, blk),
+                               axis=1, keepdims=True)
         take = bc < cost_ref[:]
         idx_ref[:] = jnp.where(take, bi, idx_ref[:])
         cost_ref[:] = jnp.where(take, bc, cost_ref[:])
@@ -374,6 +425,11 @@ def nearest_const_pallas(states, S, size, xrand, *, block: int = 1024,
     wrapped = wrap_dim is not None
     if S.ndim == 3:
         S = S[0]
+    F = 1 + n                                          # bilinear K dim
+    KS = 6 * F                                         # stacked split K
+    if KS + 2 > 128:
+        raise ValueError(f"nstates={n} too large for the K-stacked const "
+                         "NN kernel (6(1+n)+2 must fit 128 lanes)")
     # tiny jitter keeps chol defined for merely PSD cost-to-go matrices
     L = jnp.linalg.cholesky(S + 1e-9 * jnp.eye(n, dtype=S.dtype))
 
@@ -385,52 +441,73 @@ def nearest_const_pallas(states, S, size, xrand, *, block: int = 1024,
 
     blk = pick(N, 128, block)
     # Scoped-VMEM budget: the kernel body materializes several (Bt, blk)
-    # f32/i32 temporaries (cost accumulator, wrap correction, node-index
-    # iota, masked select); at Bt = blk = 1024 those stack past the 16 MiB
-    # scoped-vmem limit on real-TPU compiles (observed: 17.83 MiB requested;
-    # interpret mode on CPU never enforces the limit, so only hardware runs
-    # catch it — bench.py's pallas_equiv gate).  Capping Bt*blk <= 512*1024
-    # keeps the stack comfortably under budget at no measurable throughput
-    # cost: the w tile stays resident per candidate tile and only the tiny
-    # zT stream (R x N, ~1 MiB) is re-read once more per extra tile.
+    # f32/i32 temporaries (cost plane, wrap correction, argmin iota); at
+    # Bt = blk = 1024 those stack past the 16 MiB scoped-vmem limit on
+    # real-TPU compiles (interpret mode on CPU never checks it — bench.py's
+    # pallas_equiv gate does).  Capping Bt*blk <= 512*1024 keeps the stack
+    # comfortably under budget at no measurable throughput cost.
     Bt = pick(B, 8, min(1024, max(512 * 1024 // blk, 8)))
     assert N % blk == 0 and B % Bt == 0, (N, blk, B, Bt)
     nblocks = N // blk
     nb_B = B // Bt
 
-    # HIGHEST precision on every prep matmul: the TPU default single-pass
-    # bf16 MXU path loses ~8 mantissa bits of the whitened coordinates, and
-    # at boat-scale magnitudes (|x| ~ 40 m) that is an absolute coordinate
-    # error of ~0.16 — enough to flip ~5% of argmins to nodes up to ~40%
-    # costlier (measured on v5e by bench.py's pallas_equiv gate; interpret
-    # mode on CPU computes f32 matmuls and never sees it).  The prep work is
-    # O(N n^2), negligible next to the O(B N n) kernel.
+    # Center about the candidate mean (the metric is translation-invariant):
+    # shrinks |z|^2 / |w.z| term magnitudes, which bounds the absolute error
+    # of the split-compensated bilinear expansion (~2^-17 relative).
+    center = jnp.mean(xrand, axis=0)
+    if wrapped:
+        center = center.at[wrap_dim].set(0.0)          # angles stay wrapped
+    statesc = states - center
+    xrandc = xrand - center
+
+    # HIGHEST on the O(N n^2) prep matmuls — negligible next to the kernel.
     PHI = jax.lax.Precision.HIGHEST
-    z = jnp.dot(states, L, precision=PHI)              # (N, n) whitened
-    w = jnp.dot(xrand, L, precision=PHI)               # (B, n)
-    rows = n + (2 if wrapped else 0)
-    R = -(-rows // 8) * 8                              # sublane-pad
-    C = 128                                            # lane-pad
-    zT = jnp.zeros((R, N), jnp.float32).at[:n, :].set(z.T)
-    wp = jnp.zeros((B, C), jnp.float32).at[:, :n].set(w)
+    z = jnp.dot(statesc, L, precision=PHI)             # (N, n) whitened
+    w = jnp.dot(xrandc, L, precision=PHI)              # (B, n)
+    z2 = jnp.sum(z * z, axis=-1)                       # (N,)
+    live = jnp.arange(N) < size
+
+    # Buffer assembly is ONE concatenate per side: building the (R, N) /
+    # (B, 128) operands with ~8 .at[].set passes instead costs ~0.45 ms of
+    # extra per-call prep at bench shapes (measured round 5) — the dominant
+    # term for small live sizes, where the restart chunk spends most rounds.
+    phi = jnp.concatenate(
+        [jnp.where(live, z2, _POISON)[None, :], -2.0 * z.T], axis=0)
+    phi_h, phi_m, phi_l = _bf16_split3(phi)
+    psi = jnp.concatenate([jnp.ones((B, 1), jnp.float32), w], axis=1)
+    psi_h, psi_m, psi_l = _bf16_split3(psi)
+
+    # product groups hH + (hM + mH) + (hL + mM + lH); see module comment
+    cand_groups = [psi_h, psi_h, psi_m, psi_h, psi_m, psi_l]
+    node_groups = [phi_h, phi_m, phi_h, phi_l, phi_m, phi_h]
+
+    R = -(-(KS + 2) // 8) * 8                          # sublane-pad
     if wrapped:
         Sa = S[wrap_dim, :]
-        zT = zT.at[n, :].set(states[:, wrap_dim])
-        zT = zT.at[n + 1, :].set(jnp.dot(states, Sa, precision=PHI))
-        wp = wp.at[:, n].set(xrand[:, wrap_dim])
-        wp = wp.at[:, n + 1].set(jnp.dot(xrand, Sa, precision=PHI))
+        node_groups += [statesc[None, :, wrap_dim],
+                        (-2.0 * _TWO_PI
+                         * jnp.dot(statesc, Sa, precision=PHI))[None, :]]
+        cand_groups += [xrandc[:, wrap_dim][:, None],
+                        (2.0 * _TWO_PI
+                         * jnp.dot(xrandc, Sa, precision=PHI))[:, None]]
         saa = S[wrap_dim, wrap_dim].reshape(1)
     else:
+        node_groups += [jnp.zeros((2, N), jnp.float32)]
+        cand_groups += [jnp.zeros((B, 2), jnp.float32)]
         saa = jnp.zeros((1,), jnp.float32)
+    nodeT = jnp.concatenate(
+        node_groups + [jnp.zeros((R - KS - 2, N), jnp.float32)], axis=0)
+    cand = jnp.concatenate(
+        cand_groups + [jnp.zeros((B, 128 - KS - 2), jnp.float32)], axis=1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,                         # size, S_aa
         grid=(nb_B, nblocks),                          # node axis MINOR
         in_specs=[
             pl.BlockSpec((R, blk), lambda j, i, s, a: (0, i),
-                         memory_space=pltpu.VMEM),     # zT block
-            pl.BlockSpec((Bt, C), lambda j, i, s, a: (j, 0),
-                         memory_space=pltpu.VMEM),     # w tile
+                         memory_space=pltpu.VMEM),     # nodeT block
+            pl.BlockSpec((Bt, 128), lambda j, i, s, a: (j, 0),
+                         memory_space=pltpu.VMEM),     # cand tile
         ],
         out_specs=[
             pl.BlockSpec((Bt, 1), lambda j, i, s, a: (j, 0),
@@ -440,21 +517,25 @@ def nearest_const_pallas(states, S, size, xrand, *, block: int = 1024,
         ],
     )
     cost, idx = pl.pallas_call(
-        functools.partial(_nn_const_kernel, blk=blk, n=n, wrapped=wrapped),
+        functools.partial(_nn_const_kernel, blk=blk, KS=KS,
+                          wrapped=wrapped),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, 1), jnp.float32),
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=3 * B * N * (n + (4 if wrapped else 0)),
-            bytes_accessed=(R * N + nb_B * N * 0 + B * C) * 4 + B * 8,
+            flops=2 * B * N * KS + (12 if wrapped else 4) * B * N,
+            bytes_accessed=(R * N + B * 128) * 4 + B * 8,
             transcendentals=0),
         interpret=interpret,
     )(jnp.asarray(size, jnp.int32).reshape(1),
-      jnp.asarray(saa, jnp.float32), zT, wp)
+      jnp.asarray(saa, jnp.float32), nodeT, cand)
 
-    return idx[:, 0], cost[:, 0]
+    # |w|^2 is constant per candidate (cannot affect the argmin); add it
+    # back so the returned cost is the true metric value.
+    w2 = jnp.sum(w * w, axis=-1)
+    return idx[:, 0], cost[:, 0] + w2
 
 
 def make_nearest_const_pallas(block: int = 1024, wrap_dim: int | None = None,
