@@ -86,9 +86,11 @@ def make_expand(spec: RoundSpec, dynamics: Callable, lqr: Callable,
     fused Pallas kernel, ops/pallas/nn_kernel.py); same signature as
     core.nearest.make_nearest's product.
 
-    ``steer_fn`` optionally replaces the lax.scan rollout with the fused
-    Pallas rollout kernel (ops/pallas/steer_kernel.make_steer_pallas, ~50x
-    faster at bench shapes); must honor the layout="tm" SteerResult contract.
+    ``steer_fn`` optionally replaces the lax.scan rollout with a custom
+    implementation; must honor the layout="tm" SteerResult contract.  (The
+    experimental Pallas rollout kernel that used this hook measured no
+    faster than the scan under a synchronizing harness and lives in
+    tools/steer_kernel_experimental.py, round 5.)
     """
     nearest = nearest_fn if nearest_fn is not None else make_nearest(
         erf, block=min(spec.nn_block, spec.capacity))

@@ -22,8 +22,7 @@ jax-traceable; the framework vmaps them across the candidate batch.
 TPU-specific knobs are keyword-only extras: batch_size (candidates per round),
 capacity (tree array size), wrap_dims (angle dims wrapped in node storage),
 nn_block (NN scan tile), rounds_per_chunk (rounds fused per dispatch),
-nn_impl ("auto" | "pallas" | "jnp" nearest-neighbor backend), steer_impl
-("scan" | "pallas" rollout backend), refine_mode ("restart" |
+nn_impl ("auto" | "pallas" | "jnp" nearest-neighbor backend), refine_mode ("restart" |
 "leaf_rewire" capacity-saturated refinement policy), seed (PRNG).
 
 FPR note: the reference's FPR parameter semantics could not be verified
@@ -100,8 +99,16 @@ class Planner:
             raise ValueError("horizon and dt must be positive")
         if nn_impl not in ("auto", "pallas", "pallas_const", "jnp"):
             raise ValueError(f"unknown nn_impl {nn_impl!r}")
-        if steer_impl not in ("auto", "pallas", "scan"):
-            raise ValueError(f"unknown steer_impl {steer_impl!r}")
+        if steer_impl in ("auto",):
+            steer_impl = "scan"
+        if steer_impl != "scan":
+            raise ValueError(
+                f"steer_impl {steer_impl!r} is no longer available: the "
+                "fused Pallas rollout kernel measured no faster than the "
+                "lax.scan steer once timed with a synchronizing harness "
+                "(round 5; see tools/steer_kernel_experimental.py for the "
+                "kernel and the measurements) and was removed from the "
+                "package")
         if collective not in ("gather", "topk"):
             raise ValueError(f"unknown collective {collective!r}")
         if mesh is not None:
@@ -173,19 +180,18 @@ class Planner:
         self.wrap_dims = tuple(wrap_dims)
         self.rounds_per_chunk = max(int(rounds_per_chunk), 1)
         self.nn_impl = nn_impl
-        # steer_impl: the fused Pallas rollout kernel
-        # (ops/pallas/steer_kernel.py) runs the boat steer at 0.07 ms vs
-        # 3 ms for the lax.scan — but ONLY as a standalone dispatch: on this
-        # backend, composing the same kernel with any producer/consumer in
-        # one program compiles a ~300x-pessimized executable (round-4
-        # bisection, tools/dbg_*; same phenomenon class as the round-3
-        # batched-LU pathology), so inside the fused round it currently
-        # LOSES to the scan.  Default "scan" until that is routed around;
-        # "auto" probes availability and uses the kernel; "pallas" forces
-        # it (interpret mode off TPU).
-        self.steer_impl = steer_impl
+        # steer_impl: only "scan" remains.  Round 4 believed the fused
+        # Pallas rollout kernel ran at 0.07 ms standalone vs 3 ms for the
+        # scan and was only pessimized in composition; round 5 found both
+        # numbers were artifacts of an asynchronous timing harness (this
+        # backend's block_until_ready does not synchronize).  Honestly
+        # measured, the kernel is ~22.5 ms in every regime — vmapped user
+        # callbacks lower 1-D (Bt,) intermediates catastrophically in
+        # Mosaic — and its repaired floor only ties the scan (1.4 ms
+        # composed).  The kernel and all measurements live in
+        # tools/steer_kernel_experimental.py.
+        self.steer_impl = "scan"
         self.steer_selected = "scan"
-        self._steer_probe = None
         # Multi-device mode (SURVEY.md 2.4 P1/P2): candidate batch sharded
         # over mesh_axis, tree replicated, best-edge collective per round
         # ("gather" = full candidate all-gather, commit-everything; "topk" =
@@ -376,59 +382,6 @@ class Planner:
         self.nn_selected = "pallas"
         return make_nearest_pallas(**kwargs)
 
-    def _steer_builder(self):
-        """None (use the lax.scan rollout) or ``feas -> steer_fn`` building
-        the fused Pallas rollout kernel with that feasibility closed over —
-        a builder rather than a function because dynamic-obstacle planners
-        close traced data into feas per chunk trace (C9)."""
-        if self.steer_impl == "scan":
-            return None
-        platform = jax.devices()[0].platform
-        interp = platform != "tpu"
-        if self.steer_impl == "auto" and interp:
-            return None
-        from .ops.pallas.steer_kernel import make_steer_pallas
-        if self.steer_impl == "auto" and self._steer_probe is None:
-            # one tiny compile decides kernel availability for this problem
-            # (user callbacks that Mosaic cannot lower fail here, not in the
-            # middle of a timed replan)
-            try:
-                feas = self.constraints.is_feasible
-                if self.constraints.feasibility_data is not None:
-                    data = jax.tree.map(jnp.asarray,
-                                        self.constraints.feasibility_data)
-                    user = feas
-                    feas = lambda x, u: user(x, u, data)  # noqa: E731
-                probe = make_steer_pallas(
-                    self.dynamics, self.erf, feas,
-                    min(self.horizon_steps, 4), self.dt, self.error_tol,
-                    saturate=self.saturate,
-                    goal_buffer=self.constraints.goal_buffer, batch_tile=8)
-                out = jax.jit(probe)(
-                    jnp.zeros((8, self.nstates)),
-                    jnp.zeros((8, self.ncontrols, self.nstates)),
-                    jnp.zeros((8, self.nstates)), jnp.zeros(self.nstates))
-                jax.block_until_ready(out)
-                self._steer_probe = True
-            except Exception as e:
-                import warnings
-                warnings.warn(
-                    "Pallas steer kernel unavailable; falling back to the "
-                    f"lax.scan rollout: {type(e).__name__}: {str(e)[:200]}",
-                    stacklevel=2)
-                self._steer_probe = False
-        if self.steer_impl == "auto" and not self._steer_probe:
-            return None
-        self.steer_selected = "pallas"
-
-        def build(feas):
-            return make_steer_pallas(
-                self.dynamics, self.erf, feas, self.horizon_steps, self.dt,
-                self.error_tol, saturate=self.saturate,
-                goal_buffer=self.constraints.goal_buffer, interpret=interp)
-
-        return build
-
     def _get_chunk(self, xrand_gen, n_fpr: int, commit: str = "grow"):
         """Jitted chunk: rounds_per_chunk expansion rounds fused into one
         device program, returning (tree, packed [size, goal_found]) so the
@@ -476,7 +429,6 @@ class Planner:
         user_feas = self.constraints.is_feasible
         uses_data = self.constraints.feasibility_data is not None
         informed_on = xrand_gen is None and self.informed > 0.0
-        steer_builder = self._steer_builder()
 
         # ``extra`` traced args, in order: [prev_plan (FPR)], [feas_data],
         # [informed pool, informed frac].  All ride through the ONE compiled
@@ -539,19 +491,18 @@ class Planner:
                     rows = jax.random.randint(k2, (n_take,), 0,
                                               prev_plan.shape[0])
                     return jnp.concatenate([prev_plan[rows], fresh], 0)
-            sfn = steer_builder(feas) if steer_builder is not None else None
             if commit == "refine":
                 # capacity-saturated: leaf replacement + rewiring, so the
                 # remaining budget keeps shortening the committed plan
                 fn = make_refine_round(
                     spec, self.dynamics, self.lqr, self.erf, feas,
                     self.error_tol, self.constraints.goal_buffer,
-                    xrand_gen=gen, steer_fn=sfn, **common)
+                    xrand_gen=gen, **common)
             else:
                 fn = make_round(spec, self.dynamics, self.lqr, self.erf,
                                 feas, self.error_tol,
                                 self.constraints.goal_buffer,
-                                xrand_gen=gen, commit=commit, steer_fn=sfn,
+                                xrand_gen=gen, commit=commit,
                                 **common)
             return fn(tree, k, goal, sample_space, goal_bias, bias_target)
 
@@ -611,7 +562,6 @@ class Planner:
                 dp_axis=self.mesh_axis, map_axis=self.map_axis, **common)
 
         informed_on = xrand_gen is None and self.informed > 0.0
-        steer_builder = self._steer_builder()
 
         def device_fn(tree, base_key, start, goal, sample_space, goal_bias,
                       bias_target, *extra):
@@ -664,11 +614,9 @@ class Planner:
                     rows = jax.random.randint(k2, (n_loc,), 0,
                                               prev_plan.shape[0])
                     return jnp.concatenate([prev_plan[rows], fresh], 0)
-            sfn = steer_builder(feas) if steer_builder is not None else None
             if grid is None:
                 body = make_sharded_round_body(xrand_gen=gen,
-                                               is_feasible=feas,
-                                               steer_fn=sfn, **mk_body)
+                                               is_feasible=feas, **mk_body)
 
                 def one(i, t):
                     k = jax.random.fold_in(base_key, start + i)
@@ -676,8 +624,7 @@ class Planner:
                                 bias_target)
             else:
                 body = make_dp_map_round_body(xrand_gen=gen,
-                                              local_feasible=feas,
-                                              steer_fn=sfn, **mk_body)
+                                              local_feasible=feas, **mk_body)
 
                 def one(i, t):
                     k = jax.random.fold_in(base_key, start + i)
@@ -751,7 +698,6 @@ class Planner:
         self._restart_chunk_shape = (n_cycles, F)
         wrap_mask = self._wrap_mask()
         nearest_fn = self._nearest_override()
-        steer_builder = self._steer_builder()
         user_feas = self.constraints.is_feasible
         uses_data = self.constraints.feasibility_data is not None
         informed_on = xrand_gen is None and self.informed > 0.0
@@ -775,12 +721,11 @@ class Planner:
                 data = ex.pop()
                 feas = lambda x, u: user_feas(x, u, data)  # noqa: E731
             prev_plan = ex.pop(0) if n_fpr > 0 else None
-            sfn = steer_builder(feas) if steer_builder is not None else None
             expand = make_expand(spec, self.dynamics, self.lqr, self.erf,
                                  feas, self.error_tol,
                                  self.constraints.goal_buffer,
                                  wrap_mask=wrap_mask, saturate=self.saturate,
-                                 nearest_fn=nearest_fn, steer_fn=sfn)
+                                 nearest_fn=nearest_fn)
 
             def base_sample(kk, nb, pool_c, frac):
                 fresh = sample_batch(kk, nb, sample_space, goal_bias,

@@ -71,7 +71,8 @@ def _load():
 
 class TrajectoryServer:
     """Single-publisher / many-reader plan store (reference C11 semantics:
-    linear state interpolation, ZOH efforts, endpoint hold)."""
+    linear interpolation for both states and efforts, endpoint hold —
+    matching Planner.get_state/get_effort and trajserver.c)."""
 
     def __init__(self, nstates: int, ncontrols: int, cap_steps: int = 8192):
         self._lib = _load()

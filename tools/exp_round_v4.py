@@ -102,7 +102,7 @@ def main():
     time_chunk("all", base._replace(commit_all=True))
 
     # + the fused Pallas rollout kernel (ops/pallas/steer_kernel.py)
-    from lqrrt_tpu.ops.pallas.steer_kernel import make_steer_pallas
+    from steer_kernel_experimental import make_steer_pallas
     ksteer = make_steer_pallas(
         prob["dynamics"], prob["erf"], prob["constraints"].is_feasible,
         H, prob["dt"], 0.05, saturate=prob["saturate"],

@@ -22,7 +22,7 @@ enable_persistent_cache(os.path.join(os.path.dirname(
 
 from lqrrt_tpu.core.steer import make_steer
 from lqrrt_tpu.models import boat
-from lqrrt_tpu.ops.pallas.steer_kernel import make_steer_pallas
+from steer_kernel_experimental import make_steer_pallas
 
 B = int(os.environ.get("BATCH", 8192))
 H = 100

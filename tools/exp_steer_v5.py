@@ -39,7 +39,7 @@ enable_persistent_cache(os.path.join(os.path.dirname(
 
 from lqrrt_tpu.core.steer import make_steer
 from lqrrt_tpu.models import boat
-from lqrrt_tpu.ops.pallas.steer_kernel import make_steer_pallas
+from steer_kernel_experimental import make_steer_pallas
 
 B = 8192
 N = 32768 + 8192

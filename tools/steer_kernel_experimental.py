@@ -1,3 +1,26 @@
+"""EXPERIMENTAL APPARATUS (moved out of the package in round 5).
+
+Round-4 history: this fused Pallas rollout kernel was believed to run the
+boat steer at 0.07 ms vs 3.0 ms for the lax.scan standalone, with a ~300x
+"composition pessimization" blocking production use.  Round 5 re-timed it
+with a synchronizing harness (this backend dispatches asynchronously and
+block_until_ready does NOT synchronize — only a device fetch does) and found
+BOTH numbers were artifacts: the kernel costs ~22.5 ms in EVERY regime
+(entry-param operands, small carries, big carries; exp_steer_v5.json), i.e.
+~60x its compute roofline, while the scan steer costs 1.39 ms composed.
+
+Stage bisection (tools/exp_steer_stages_v5.py): the vmapped rk4 boat
+dynamics alone cost +17.7 ms inside the kernel, while the same math
+hand-written with 2-D row slices cost 1.43 ms — `jax.vmap(f, in_axes=-1)`
+of per-vector user callbacks produces 1-D (Bt,) intermediates that Mosaic
+lowers catastrophically.  A generic double-vmap repair (>= 2-D
+intermediates everywhere, tools/exp_steer_dv_v5.py) fails to compile on
+this backend; even if repaired, the projected floor (~1.0-1.4 ms from the
+hand-rows measurement plus the scaffold floor) only TIES the scan.  Per
+VERDICT r4 next-item 1 route (c), the scan remains the production steer and
+this kernel is retained here, outside the package, as measured evidence.
+"""
+
 """Fused Pallas rollout kernel for batched LQR steering (SURVEY.md C5;
 SURVEY.md §7 step 6 "fused rollout+collision"; VERDICT round 3 item 1).
 
@@ -38,7 +61,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu  # noqa: F401 (SMEM et al.)
 
-from ...core.steer import SteerResult
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from lqrrt_tpu.core.steer import SteerResult  # noqa: E402
 
 
 def make_steer_pallas(dynamics, erf, is_feasible, horizon_steps: int,
