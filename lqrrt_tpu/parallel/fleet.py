@@ -318,41 +318,92 @@ class FleetPlanner:
                     raise RuntimeError(
                         f"scenario {s}: chain does not reach the root")
             id_lists[s] = ids
-        pairs = []                          # flat (scenario, node-id) rows
-        for s in scenarios:
-            for i in id_lists[s]:
-                pairs.append((s, i))
+        # Dense (n_req, D) chain-id matrix, -1 padded; D static per call
+        # (rounded up so distinct compiles stay few).
+        req = list(scenarios)
+        D = max(len(id_lists[s]) for s in req)
+        D = -(-D // 8) * 8
+        ids_mat = np.full((len(req), D), -1, np.int32)
+        srow = np.empty(len(req), np.int32)
+        for r, s in enumerate(req):
+            ids = id_lists[s]
+            ids_mat[r, :len(ids)] = ids
+            srow[r] = s
+        pairs = []                          # flat (row, chain-pos) pairs
+        for r, s in enumerate(req):
+            for d in range(len(id_lists[s])):
+                pairs.append((r, d))
         pairs = np.asarray(pairs, np.int32)
         tm["pair_build_s"] = time.time() - t0
         t0 = time.time()
-        if getattr(self, "_gather_jit", None) is None:
-            # Fleet trees are scenario-leading with TIME-MAJOR edge storage
-            # (S, H, n, N): gathering chain nodes on the MINOR axis reads
-            # ~H*n strided singles per row (measured 11.8 s for ~7.6k rows).
-            # Transpose to row-major once (bulk relayout at HBM speed; the
-            # barrier stops XLA from folding it back into the slow gather),
-            # then gather contiguous (H, n) blocks.
-            def gather(t, si):
-                ex = jax.lax.optimization_barrier(
-                    jnp.transpose(t.edge_x, (0, 3, 1, 2)))
-                return (t.state[si[:, 0], si[:, 1]],
-                        ex[si[:, 0], si[:, 1]],
-                        t.edge_len[si[:, 0], si[:, 1]])
-            self._gather_jit = jax.jit(gather)
+        # Fleet trees are scenario-leading with TIME-MAJOR edge storage
+        # (S, H, n, N).  Gathering chain nodes on the MINOR axis reads
+        # ~H*n strided singles per row (measured 11.8 s for ~7.6k rows,
+        # round 3); transposing the whole buffer first runs at ~3.5 GB/s
+        # (0.93 s for the 3.1 GB bench buffer — minor-axis transposes are
+        # lane/sublane shuffles, round 5).  Instead the chain columns are
+        # contracted out on the MXU with a per-scenario one-hot matmul at
+        # Precision.HIGHEST (exact for f32), which streams the edge buffer
+        # from HBM exactly once: ~20 ms at the 1024-scenario bench shape.
+        if getattr(self, "_gather_jits", None) is None:
+            self._gather_jits = {}
+        all_key = req == list(range(self.n_scenarios))
+        gj = self._gather_jits.get((D, all_key))
+        if gj is None:
+            all_rows = all_key
+
+            def gather(t, srow, ids_mat, si):
+                Nn = t.edge_x.shape[-1]
+                if all_rows:   # avoid a full-buffer identity gather (~3 GB)
+                    ex, el, st = (t.edge_x,
+                                  t.edge_len.astype(jnp.float32), t.state)
+                else:
+                    ex = t.edge_x[srow]                # (R, H, n, N) rows
+                    el = t.edge_len[srow].astype(jnp.float32)
+                    st = t.state[srow]
+                R, Hh, nn_, _ = ex.shape
+                oh = (ids_mat[:, :, None]
+                      == jnp.arange(Nn)[None, None, :]).astype(jnp.float32)
+                ex_g = jnp.einsum(
+                    "rhnk,rdk->rdhn", ex, oh,
+                    precision=jax.lax.Precision.HIGHEST)  # (R, D, H, n)
+                len_g = jnp.einsum(
+                    "rk,rdk->rd", el, oh,
+                    precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
+                ids_safe = jnp.maximum(ids_mat, 0)
+                st_g = jnp.take_along_axis(st, ids_safe[:, :, None], axis=1)
+                return (st_g[si[:, 0], si[:, 1]],
+                        ex_g[si[:, 0], si[:, 1]],
+                        len_g[si[:, 0], si[:, 1]])
+            gj = jax.jit(gather)
+            self._gather_jits[(D, all_key)] = gj
         states, edge_x, edge_len = (
             np.asarray(a) for a in jax.device_get(
-                self._gather_jit(self.trees, jnp.asarray(pairs))))
+                gj(self.trees, jnp.asarray(srow), jnp.asarray(ids_mat),
+                   jnp.asarray(pairs))))
         tm["gather_transfer_s"] = time.time() - t0
+        tm["transfer_bytes"] = int(states.nbytes + edge_x.nbytes
+                                   + edge_len.nbytes)
         t0 = time.time()
-        out = {}
+        # Vectorized assembly: one boolean-mask flatten of all valid edge
+        # steps (row order preserved), then per-scenario slices — the
+        # per-edge python concatenate loop cost 0.21 s at 1024 scenarios.
+        is_root = pairs[:, 1] == 0
+        lens_eff = np.where(is_root, 0, edge_len).astype(np.int64)
+        step_mask = (np.arange(edge_x.shape[1])[None, :]
+                     < lens_eff[:, None])
+        flat = edge_x[step_mask]                      # (total_steps, n)
+        row_of = {}
         k = 0
-        for s in scenarios:
-            ids = id_lists[s]
-            xs = [states[k][None]]          # root state
-            for j in range(1, len(ids)):
-                xs.append(edge_x[k + j][: int(edge_len[k + j])])
-            out[s] = np.concatenate(xs, 0)
-            k += len(ids)
+        for r, s in enumerate(req):
+            row_of[s] = k
+            k += len(id_lists[s])
+        csum = np.concatenate([[0], np.cumsum(lens_eff)])
+        out = {}
+        for s in req:
+            k = row_of[s]
+            a, b = csum[k], csum[k + len(id_lists[s])]
+            out[s] = np.concatenate([states[k][None], flat[a:b]], 0)
         tm["host_assembly_s"] = time.time() - t0
         # where extraction time goes, for the fleet bench artifact
         # (VERDICT r3 weak #2: extract_all_plans_s had no breakdown)

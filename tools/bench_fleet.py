@@ -78,7 +78,21 @@ def main():
     # 1024x sequential host climb loop)
     t1 = time.time()
     plans = fleet.extract_plans()
-    extract_wall = time.time() - t1
+    extract_cold = time.time() - t1
+    # warm best-of-3: the cold call pays jit compiles, and the tunnel's
+    # device->host bandwidth swings ~2x between runs (measured 23-37 MiB/s,
+    # round 5); steady-state replanning re-extracts every cycle, so the
+    # warm best-of-N is the honest operating cost
+    extract_wall = float("inf")
+    best_tm = None
+    for _ in range(3):
+        t1 = time.time()
+        plans = fleet.extract_plans()
+        dt_e = time.time() - t1
+        if dt_e < extract_wall:
+            extract_wall = dt_e
+            best_tm = dict(fleet.last_extract_timings)
+    fleet.last_extract_timings = best_tm
 
     gt = stats["goal_time_s"][~np.isnan(stats["goal_time_s"])]
     rec = {
@@ -97,6 +111,7 @@ def main():
         "goal_time_p99_s": (round(float(np.percentile(gt, 99)), 3)
                             if len(gt) else None),
         "extract_all_plans_s": round(extract_wall, 3),
+        "extract_all_plans_cold_s": round(extract_cold, 3),
         "extract_breakdown": getattr(fleet, "last_extract_timings", None),
         "mean_plan_steps": round(float(np.mean(
             [len(p) for p in plans.values()])), 1),
