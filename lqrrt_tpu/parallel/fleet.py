@@ -215,7 +215,7 @@ class FleetPlanner:
                 trees = self._vplan(trees, jax.random.fold_in(base, done),
                                     jnp.asarray(nr, jnp.int32),
                                     goals, sample_spaces, goal_bias, data)
-                found = np.asarray(trees.goal_found)   # also syncs the chunk
+                found = self._fetch(trees.goal_found)  # also syncs the chunk
                 dt_chunk = max(self.sys_time() - tc, 1e-6) / nr
                 per_round_s = (dt_chunk if per_round_s is None
                                else 0.5 * per_round_s + 0.5 * dt_chunk)
@@ -227,12 +227,12 @@ class FleetPlanner:
         trees.size.block_until_ready()
         elapsed = self.sys_time() - t0
         self.trees = trees
-        found = np.asarray(trees.goal_found)
+        found = self._fetch(trees.goal_found)
         if max_time is None:
             goal_time = np.where(found, np.float32(elapsed), goal_time)
         expansions = done * self.spec.batch * self.n_scenarios
         return dict(
-            sizes=np.asarray(trees.size),
+            sizes=self._fetch(trees.size),
             goal_found=found,
             rounds=done,
             elapsed_s=elapsed,
@@ -240,6 +240,17 @@ class FleetPlanner:
             expansions_per_s=expansions / max(elapsed, 1e-9),
             goal_time_s=goal_time,
         )
+
+    @staticmethod
+    def _fetch(x):
+        """np.asarray that works when the scenario axis spans processes:
+        multi-process global arrays are not locally addressable, so gather
+        them with the standard multihost utility first (P5)."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            return np.asarray(
+                multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(x)
 
     def _infer_ncontrols(self, x0):
         # Read K's leading dim from one lqr evaluation.  Re-linearized lqr

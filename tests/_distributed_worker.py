@@ -111,6 +111,38 @@ def main():
               round(float(np.abs(xs).sum()), 3))
     print(f"PLAN_OK {pid} {digest}", flush=True)
 
+    # --- fleet (P4) across the process boundary (VERDICT r4 item 7): the
+    # 1k-scenario BASELINE config is "sharded across >=2 hosts"; this runs a
+    # 16-scenario double-integrator fleet over the flattened 8-device global
+    # mesh in fixed-rounds mode (deterministic — no wall clock to diverge
+    # between processes) and digests per-scenario sizes/goals through a
+    # replicated-output reduction both processes must agree on. ---
+    from lqrrt_tpu.parallel.fleet import FleetPlanner
+
+    fmesh = meshlib.make_fleet_mesh(n_global)
+    S = 16
+    rng = np.random.default_rng(0)
+    x0s = np.tile(np.asarray(prob["x0"]), (S, 1))
+    goals = np.tile(np.asarray(prob["goal"]), (S, 1))
+    goals[:, 0] += rng.uniform(-1, 1, S).astype(np.float32)
+    fleet = FleetPlanner(
+        prob["dynamics"], prob["lqr"], prob["erf"],
+        prob["constraints"].is_feasible, prob["constraints"].goal_buffer,
+        horizon=prob["horizon"], dt=prob["dt"], n_scenarios=S,
+        batch_size=16, capacity=128, nn_block=64,
+        saturate=prob["saturate"], mesh=fmesh, seed=5)
+    fleet.plan(x0s, goals, prob["sample_space"], goal_bias=0.2, rounds=4)
+    rep_f = NamedSharding(fmesh, P())
+    dig = jax.jit(
+        lambda ts: (jnp.sum(ts.size), jnp.sum(ts.goal_found.astype(
+            jnp.int32)), jnp.sum(jnp.abs(ts.state))),
+        out_shardings=(rep_f, rep_f, rep_f))(fleet.trees)
+    sizes_sum, goals_sum, state_sum = (
+        float(np.asarray(d.addressable_shards[0].data).ravel()[0])
+        for d in dig)
+    fdigest = (int(sizes_sum), int(goals_sum), round(state_sum, 2))
+    print(f"FLEET_OK {pid} {fdigest}", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -51,6 +51,13 @@ def test_two_process_distributed_round():
     assert len(sizes) == 1, outs
     # and the FULL update_plan facade commits an identical plan in both
     # processes (reached flag, plan length, node count, plan digest)
-    digests = {o.split("PLAN_OK")[1].split(maxsplit=1)[1].strip()
-               for o in outs}
+    digests = {o.split("PLAN_OK")[1].splitlines()[0].split(maxsplit=1)[1]
+               .strip() for o in outs}
     assert len(digests) == 1, outs
+    # and the scenario-sharded fleet (P4) agrees across processes on the
+    # per-scenario size/goal/state digest (VERDICT r4 item 7)
+    for i, out in enumerate(outs):
+        assert f"FLEET_OK {i}" in out, out
+    fdigests = {o.split("FLEET_OK")[1].splitlines()[0].split(maxsplit=1)[1]
+                .strip() for o in outs}
+    assert len(fdigests) == 1, outs
