@@ -136,3 +136,44 @@ def default_problem(obstacles: bool = True, obstacle_model: str = "circles",
                 constraints=constraints, x0=x0, goal=goal,
                 sample_space=sample_space, horizon=5.0, dt=0.05,
                 obstacles=(centers, radii), saturate=saturate, wrap_dims=(2,))
+
+
+def hard_problem():
+    """Anytime-quality scenario: a 56 m transit through two walls of buoys
+    with OFFSET gaps (wall 1 passable near y=+8, wall 2 near y=-8), so the
+    straight line is blocked and competing homotopies differ by several
+    seconds of trajectory time.  On ``default_problem`` the anytime curve
+    saturates ~1% above the instance optimum within 0.2 s (all seeds
+    converge to 16.75 s by 15 s of budget — QUALITY_r05.json); this
+    instance leaves real headroom for budget to buy quality, which is what
+    the quality-vs-budget artifact and the informed-restart mechanism are
+    measured on.
+    """
+    from ..constraints import Constraints
+
+    rows = []
+    # wall 1 at x=18 spans the bottom of the arena: passable only ABOVE
+    # y ~ +7; wall 2 at x=36 spans the top: passable only BELOW y ~ -7
+    for y in (-12.0, -8.0, -4.0, 0.0, 4.0):
+        rows.append([18.0, y])
+    for y in (-4.0, 0.0, 4.0, 8.0, 12.0):
+        rows.append([36.0, y])
+    centers = np.asarray(rows, np.float32)
+    radii = np.full((len(rows),), 2.2, np.float32)
+    is_feasible = collision.circles_free(centers, radii, margin=1.0)
+    constraints = Constraints(
+        nstates=NSTATES, ncontrols=NCONTROLS,
+        goal_buffer=np.array([1.5, 1.5, 0.3, 0.8, 0.8, 0.5], np.float32),
+        search_buffer=np.array([[-5.0, 5.0], [-5.0, 5.0], [-np.pi, np.pi],
+                                [-1.0, 2.0], [-0.5, 0.5], [-0.5, 0.5]],
+                               np.float32),
+        is_feasible=is_feasible)
+    x0 = np.zeros(6, np.float32)
+    goal = np.array([52.0, 0.0, 0.0, 0.0, 0.0, 0.0], np.float32)
+    sample_space = np.array(
+        [[-2.0, 56.0], [-15.0, 15.0], [-np.pi, np.pi],
+         [0.0, 3.0], [-0.5, 0.5], [-0.7, 0.7]], np.float32)
+    return dict(dynamics=dynamics, lqr=make_lqr(), erf=erf,
+                constraints=constraints, x0=x0, goal=goal,
+                sample_space=sample_space, horizon=5.0, dt=0.05,
+                obstacles=(centers, radii), saturate=saturate, wrap_dims=(2,))

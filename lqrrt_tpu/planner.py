@@ -799,11 +799,87 @@ class Planner:
                 if informed_on:
                     refresh = improved & gf
                     pool_c = jnp.where(refresh, pool_fn(cur_t, b), pool_c)
-                # ---- reseed: root row 0 is never overwritten by commits ----
+                # ---- reseed (root row 0 is never overwritten by commits).
+                # DEPTH PLANTING (round 5): each restart cycle can only grow
+                # F = ceil(capacity/batch) edge generations (every round
+                # attaches to the pre-round tree), so with the production
+                # B=8192 / cap=32768 a plan needing >4 edges is unreachable
+                # at ANY budget — measured on the two-wall hard boat
+                # instance, where the best branch stalls mid-maze forever.
+                # Reseed policy (round 5).  Before any goal: PLANT the
+                # stash's best root-first chain (parents remapped linearly)
+                # every cycle — deep instances are otherwise flat-out
+                # unsolvable at any budget.  After a goal exists: ALTERNATE
+                # bare reseeds (restart-min diversity, the measured
+                # refinement mechanism on shallow instances — planting every
+                # cycle froze the default boat 28%% above its floor) with
+                # planted reseeds (tail refinement + re-reachability on
+                # instances whose goal chains exceed F generations, where
+                # bare cycles can never re-reach the goal and the incumbent
+                # would otherwise freeze at first arrival). ----
+                DP = 32                   # planted-prefix cap (static)
+                no_goal_ever = new_sc[4] < 0.5
+                gcyc = start // F + c              # global cycle counter
+                bb = new_sc[5].astype(jnp.int32)   # best id in the stash
+
+                def wstep(bcur, _):
+                    nxt = jnp.where(bcur >= 0, best_t.parent[bcur], -1)
+                    return nxt, bcur
+                _, rev = jax.lax.scan(wstep, bb, None, length=DP)
+                L = jnp.sum(rev >= 0)              # chain rows walked
+                # a chain deeper than DP never reaches the root within the
+                # walk — planting it would root the tree at a mid-state;
+                # fall back to the bare reseed instead
+                deeper = (L == DP) & (best_t.parent[rev[DP - 1]] >= 0)
+                do_plant = (jnp.logical_not(deeper)
+                            & (no_goal_ever | (gcyc % 2 == 1)))
+                idx = jnp.clip(L - 1 - jnp.arange(DP), 0, DP - 1)
+                rows = jnp.maximum(rev[idx], 0)    # root-first prefix ids
+                valid = jnp.arange(DP) < L
+                take = do_plant & valid            # (DP,) plant mask
+
+                def plant(dst, src_rows, mask):
+                    upd = jnp.where(
+                        mask.reshape((DP,) + (1,) * (dst.ndim - 1)),
+                        src_rows, dst[:DP])
+                    return jax.lax.dynamic_update_slice(
+                        dst, upd, (jnp.asarray(0, jnp.int32),)
+                        + (jnp.asarray(0, jnp.int32),) * (dst.ndim - 1))
+
+                def plant_tm(dst, src_cols, mask):
+                    # time-major edge buffers: node axis MINOR
+                    upd = jnp.where(mask[None, None, :], src_cols,
+                                    dst[:, :, :DP])
+                    z = jnp.asarray(0, jnp.int32)
+                    return jax.lax.dynamic_update_slice(dst, upd, (z, z, z))
+
+                lin_parent = (jnp.arange(DP, dtype=jnp.int32) - 1)
+                n_child_pl = (jnp.arange(DP) < L - 1).astype(jnp.int32)
                 cur_t = cur_t._replace(
-                    size=jnp.asarray(1, jnp.int32),
-                    goal_found=cur_t.in_goal[0],
-                    n_children=jnp.zeros_like(cur_t.n_children))
+                    state=plant(cur_t.state, best_t.state[rows], take),
+                    S=plant(cur_t.S, best_t.S[rows], take),
+                    K=plant(cur_t.K, best_t.K[rows], take),
+                    parent=plant(cur_t.parent, lin_parent, take),
+                    edge_x=plant_tm(cur_t.edge_x,
+                                    best_t.edge_x[:, :, rows], take),
+                    edge_u=plant_tm(cur_t.edge_u,
+                                    best_t.edge_u[:, :, rows], take),
+                    edge_len=plant(cur_t.edge_len,
+                                   best_t.edge_len[rows], take),
+                    node_time=plant(cur_t.node_time,
+                                    best_t.node_time[rows], take),
+                    in_goal=plant(cur_t.in_goal,
+                                  best_t.in_goal[rows], take),
+                    goal_cost=plant(cur_t.goal_cost,
+                                    best_t.goal_cost[rows], take),
+                    n_children=jnp.zeros_like(cur_t.n_children).at[:DP].set(
+                        jnp.where(take, n_child_pl, 0)),
+                    size=jnp.where(do_plant,
+                                   jnp.minimum(L, DP).astype(jnp.int32),
+                                   1).astype(jnp.int32),
+                    goal_found=(cur_t.in_goal[0]
+                                | jnp.any(take & best_t.in_goal[rows])),
+                )
                 return (cur_t, best_t, pool_c, new_sc), None
 
             (cur, best, pool, score), _ = jax.lax.scan(

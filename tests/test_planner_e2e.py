@@ -434,3 +434,37 @@ def test_leaf_rewire_mode_refines_past_capacity():
     ok = np.asarray(jax.vmap(lambda x: feas(x, jnp.zeros(2)))(
         jnp.asarray(np.asarray(long.x_seq))))
     assert ok.all()
+
+
+def test_depth_planting_solves_deep_instance():
+    """Each restart cycle grows at most F = ceil(capacity/batch) edge
+    generations; a goal needing more edges than F is unreachable by any
+    single cycle.  The round-5 reseed policy PLANTS the stash's best chain
+    prefix (always before the first goal; alternating afterwards), so
+    successive cycles inherit depth and such instances solve (measured on
+    TPU: the two-wall hard boat was unsolvable at ANY budget without it).
+
+    Deep double-integrator: capacity/batch = 2 generations per cycle, a
+    short horizon, and a goal ~6+ edges away."""
+    prob = di.default_problem()
+    goal = np.asarray(prob["goal"]).copy()
+    goal[0] = 30.0                        # far goal, short horizon below
+    ss = np.asarray(prob["sample_space"]).copy()
+    ss[0] = [-1.0, 33.0]
+    calls = {"n": 0}
+
+    def clock():                          # call-counted budget: 30 chunks
+        calls["n"] += 1
+        return 0.0 if calls["n"] <= 30 else 1e9
+
+    planner = lqrrt_tpu.Planner(
+        prob["dynamics"], prob["lqr"], prob["constraints"],
+        horizon=1.0, dt=prob["dt"], goal0=goal, printing=False,
+        batch_size=128, capacity=256, nn_block=128, seed=11,
+        saturate=prob.get("saturate"), rounds_per_chunk=4)
+    planner.sys_time = clock
+    reached = planner.update_plan(prob["x0"], ss, goal_bias=0.2,
+                                  pruning=False)
+    assert reached, planner.stats
+    # the committed plan really is deeper than one cycle's F=2 generations
+    assert planner.stats["plan_duration_s"] > 2 * planner.horizon
