@@ -277,9 +277,9 @@ def bench_quality(names=("boat", "car", "quadrotor"), tpu_budget=1.0):
     # #8).  Budgets sized so the oracle reaches the goal on most seeds even
     # when the host is having a slow session (oracle nodes/s varies ~2x run
     # to run; a too-tight budget collapses the measurable-ratio count).
-    oracle_budget = {"boat": 10.0, "car": 30.0, "quadrotor": 30.0}
-    seeds = {"boat": (7, 11, 23, 31, 47), "car": (7, 11, 23, 31, 47),
-             "quadrotor": (7, 11, 23, 31, 47)}
+    oracle_budget = {"boat": 8.0, "car": 24.0, "quadrotor": 24.0}
+    seeds_10 = (7, 11, 23, 31, 47, 5, 13, 17, 29, 41)
+    seeds = {"boat": seeds_10, "car": seeds_10, "quadrotor": seeds_10}
     out = {}
     for name in names:
         orc, prob, bias = _oracle_problem(name, goal_entry_trunc=True)
