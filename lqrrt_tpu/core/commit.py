@@ -125,7 +125,7 @@ def commit_batch_dense(tree: TreeArrays, dt: float, limit: int, pids, length,
 
 def commit_batch_dense_all(tree: TreeArrays, dt: float, limit: int, pids,
                            length, x_seq, u_seq, xnew, S_new, K_new, in_goal,
-                           gcost) -> TreeArrays:
+                           gcost, lane_block: int = 0) -> TreeArrays:
     """Sort-free, gather-free dense commit: ALL B candidate rows (empty
     rollouts included) land contiguously at row ``size``, one
     dynamic_update_slice per array, in raw batch order.
@@ -155,9 +155,29 @@ def commit_batch_dense_all(tree: TreeArrays, dt: float, limit: int, pids,
         idx = (start,) + (jnp.asarray(0, jnp.int32),) * (a.ndim - 1)
         return jax.lax.dynamic_update_slice(a, block, idx)
 
-    def dus_tm(a, block):
-        zero = jnp.asarray(0, jnp.int32)
-        return jax.lax.dynamic_update_slice(a, block, (zero, zero, start))
+    if lane_block:
+        # Aliased Pallas block writes for the two big TIME-MAJOR edge
+        # buffers: a dus here compiles to a full-buffer copy on this
+        # backend (~0.35 ms/round at bench shapes) — see
+        # ops/pallas/write_kernel.py.  Requires ``start`` to be a multiple
+        # of lane_block, which the caller guarantees by allocating the tree
+        # with init_tree(root_pad=lane_block) and batch % lane_block == 0.
+        import jax as _jax
+        from ..ops.pallas.write_kernel import block_column_write
+        interp = _jax.devices()[0].platform != "tpu"
+
+        def dus_tm(a, block):
+            if interp:       # CPU/interpret: identical semantics via dus
+                zero = jnp.asarray(0, jnp.int32)
+                return jax.lax.dynamic_update_slice(a, block,
+                                                    (zero, zero, start))
+            return block_column_write(a, block, start,
+                                      lane_block=lane_block)
+    else:
+        def dus_tm(a, block):
+            zero = jnp.asarray(0, jnp.int32)
+            return jax.lax.dynamic_update_slice(a, block,
+                                                (zero, zero, start))
 
     new_size = jnp.minimum(tree.size + B, jnp.asarray(limit, jnp.int32))
     pid_slot = jnp.where(committed & valid, pids_i, N)

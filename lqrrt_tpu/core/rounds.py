@@ -50,6 +50,10 @@ class RoundSpec(NamedTuple):
                               # candidate row lands (empty rollouts as
                               # zero-length duplicates of their parent) —
                               # see commit_batch_dense_all
+    lane_block: int = 0       # >0: commit edge buffers via the aliased
+                              # Pallas block writer; requires trees built
+                              # with init_tree(root_pad=lane_block) and
+                              # batch/capacity multiples of it
 
 
 class Candidates(NamedTuple):
@@ -168,9 +172,12 @@ def commit_candidates(spec: RoundSpec, tree: TreeArrays, c: Candidates,
             tree, spec.dt, spec.capacity, c.pids, c.length, c.x_seq, c.u_seq,
             c.xnew, c.S_new, c.K_new, c.in_goal, c.gcost)
     if spec.slack >= c.pids.shape[0]:  # scatter-free dense commit
-        dense = (commit_batch_dense_all if spec.commit_all
-                 else commit_batch_dense)
-        return dense(
+        if spec.commit_all:
+            return commit_batch_dense_all(
+                tree, spec.dt, spec.capacity, c.pids, c.length, c.x_seq,
+                c.u_seq, c.xnew, c.S_new, c.K_new, c.in_goal, c.gcost,
+                lane_block=spec.lane_block)
+        return commit_batch_dense(
             tree, spec.dt, spec.capacity, c.pids, c.length, c.x_seq,
             c.u_seq, c.xnew, c.S_new, c.K_new, c.in_goal, c.gcost)
     return commit_batch(tree, spec.dt, c.pids, c.length, c.x_seq, c.u_seq,

@@ -49,19 +49,32 @@ class TreeArrays(NamedTuple):
 
 
 def init_tree(capacity: int, horizon_steps: int, nstates: int, ncontrols: int,
-              x0, S0, K0, goal_cost0, in_goal0, slack: int = 0) -> TreeArrays:
+              x0, S0, K0, goal_cost0, in_goal0, slack: int = 0,
+              root_pad: int = 1) -> TreeArrays:
     """Seed a fresh tree with the root node x0 (reference: update_plan seeds
     Tree(seed_state=x0, seed_lqr=(S0, K0)), SURVEY.md section 3.2).
 
     ``slack`` allocates spare rows past the logical capacity for the
     scatter-free dense commit (core/commit.py commit_batch_dense); slack rows
-    are never counted in ``size``."""
+    are never counted in ``size``.
+
+    ``root_pad`` > 1 fills rows [1, root_pad) with INERT duplicates of the
+    root (same state/S/K so the NN metric ties them with row 0, which wins
+    the lowest-index tie-break; edge_len 0 so they contribute no plan steps
+    and are excluded from the live-node count; goal_cost +inf so they are
+    never the best node) and starts ``size`` at root_pad.  Purpose: every
+    dense commit then lands at a lane-block-ALIGNED column offset
+    (root_pad + k*batch), which the Pallas aliased block writer requires
+    (ops/pallas/write_kernel.py) — the cost is root_pad - 1 rows of
+    capacity (1.6% at the bench shapes)."""
     N, H, n, m = capacity + slack, horizon_steps, nstates, ncontrols
+    P = max(int(root_pad), 1)
     f32, i32 = jnp.float32, jnp.int32
+    pad = (slice(0, P),)
     return TreeArrays(
-        state=jnp.zeros((N, n), f32).at[0].set(x0),
-        S=jnp.zeros((N, n, n), f32).at[0].set(S0),
-        K=jnp.zeros((N, m, n), f32).at[0].set(K0),
+        state=jnp.zeros((N, n), f32).at[pad].set(x0),
+        S=jnp.zeros((N, n, n), f32).at[pad].set(S0),
+        K=jnp.zeros((N, m, n), f32).at[pad].set(K0),
         parent=jnp.full((N,), -1, i32),
         edge_x=jnp.zeros((H, n, N), f32),
         edge_u=jnp.zeros((H, m, N), f32),
@@ -70,7 +83,7 @@ def init_tree(capacity: int, horizon_steps: int, nstates: int, ncontrols: int,
         in_goal=jnp.zeros((N,), bool).at[0].set(in_goal0),
         goal_cost=jnp.full((N,), jnp.inf, f32).at[0].set(goal_cost0),
         n_children=jnp.zeros((N,), i32),
-        size=jnp.asarray(1, i32),
+        size=jnp.asarray(P, i32),
         goal_found=jnp.asarray(in_goal0, bool),
     )
 

@@ -177,6 +177,19 @@ class Planner:
         blk = min(self.nn_block, capacity)
         self.capacity = -(-int(capacity) // blk) * blk
         self.slack = -(-self.batch_size // blk) * blk
+        # Lane-block commit (round 5): when batch/capacity/slack are
+        # 512-aligned, the tree is allocated with 512 root-pad rows so every
+        # dense commit lands at a lane-block-aligned column and the edge
+        # buffers are written through the aliased Pallas block writer
+        # instead of a full-buffer-copying dus (ops/pallas/write_kernel.py;
+        # ~0.2 ms/round at bench shapes).  Root-pad rows are inert root
+        # duplicates costing 511 rows of capacity.
+        _LB = 512
+        lb_ok = (self.batch_size % _LB == 0 and self.capacity % _LB == 0
+                 and self.slack % _LB == 0
+                 and self.capacity >= 8 * _LB)
+        self.lane_block = _LB if lb_ok else 0
+        self.root_pad = _LB if lb_ok else 1
         self.wrap_dims = tuple(wrap_dims)
         self.rounds_per_chunk = max(int(rounds_per_chunk), 1)
         self.nn_impl = nn_impl
@@ -414,7 +427,8 @@ class Planner:
             batch=self.batch_size, horizon_steps=self.horizon_steps,
             capacity=self.capacity, dt=self.dt, nn_block=self.nn_block,
             slack=self.slack, commit_all=(commit == "grow"
-                                          and self.slack >= self.batch_size))
+                                          and self.slack >= self.batch_size),
+            lane_block=(self.lane_block if commit == "grow" else 0))
         wrap_mask = self._wrap_mask()
         nearest_fn = self._nearest_override()
         common = dict(wrap_mask=wrap_mask, saturate=self.saturate,
@@ -692,8 +706,8 @@ class Planner:
             nstates=self.nstates, ncontrols=self.ncontrols, batch=B,
             horizon_steps=self.horizon_steps, capacity=self.capacity,
             dt=self.dt, nn_block=self.nn_block, slack=self.slack,
-            commit_all=True)
-        F = -(-(self.capacity - 1) // B)          # rounds to fill
+            commit_all=True, lane_block=self.lane_block)
+        F = -(-(self.capacity - self.root_pad) // B)  # rounds to fill
         n_cycles = max(1, self.rounds_per_chunk // F)
         self._restart_chunk_shape = (n_cycles, F)
         wrap_mask = self._wrap_mask()
@@ -837,47 +851,52 @@ class Planner:
                 rows = jnp.maximum(rev[idx], 0)    # root-first prefix ids
                 valid = jnp.arange(DP) < L
                 take = do_plant & valid            # (DP,) plant mask
+                # Rows NOT taken are written as copies of best_t's row 0 —
+                # the root, which is identical in cur/best (seeded from the
+                # same x0, never overwritten by commits) and INERT: the NN
+                # ties it with row 0 and the lowest index wins.  Writing all
+                # DP rows every cycle also clears stale chain rows from a
+                # previous planted reseed, and with a root-padded tree
+                # (lane-block commits) ``size`` stays at root_pad so commit
+                # offsets remain lane-aligned.
+                rows = jnp.where(take, rows, 0)
 
-                def plant(dst, src_rows, mask):
-                    upd = jnp.where(
-                        mask.reshape((DP,) + (1,) * (dst.ndim - 1)),
-                        src_rows, dst[:DP])
+                def plant(dst, src_rows):
                     return jax.lax.dynamic_update_slice(
-                        dst, upd, (jnp.asarray(0, jnp.int32),)
+                        dst, src_rows, (jnp.asarray(0, jnp.int32),)
                         + (jnp.asarray(0, jnp.int32),) * (dst.ndim - 1))
 
-                def plant_tm(dst, src_cols, mask):
+                def plant_tm(dst, src_cols):
                     # time-major edge buffers: node axis MINOR
-                    upd = jnp.where(mask[None, None, :], src_cols,
-                                    dst[:, :, :DP])
                     z = jnp.asarray(0, jnp.int32)
-                    return jax.lax.dynamic_update_slice(dst, upd, (z, z, z))
+                    return jax.lax.dynamic_update_slice(dst, src_cols,
+                                                        (z, z, z))
 
-                lin_parent = (jnp.arange(DP, dtype=jnp.int32) - 1)
-                n_child_pl = (jnp.arange(DP) < L - 1).astype(jnp.int32)
+                lin_parent = jnp.where(
+                    take, jnp.arange(DP, dtype=jnp.int32) - 1, -1)
+                n_child_pl = jnp.where(take & (jnp.arange(DP) < L - 1),
+                                       1, 0).astype(jnp.int32)
+                seed_size = jnp.asarray(max(self.root_pad, 1), jnp.int32)
                 cur_t = cur_t._replace(
-                    state=plant(cur_t.state, best_t.state[rows], take),
-                    S=plant(cur_t.S, best_t.S[rows], take),
-                    K=plant(cur_t.K, best_t.K[rows], take),
-                    parent=plant(cur_t.parent, lin_parent, take),
-                    edge_x=plant_tm(cur_t.edge_x,
-                                    best_t.edge_x[:, :, rows], take),
-                    edge_u=plant_tm(cur_t.edge_u,
-                                    best_t.edge_u[:, :, rows], take),
-                    edge_len=plant(cur_t.edge_len,
-                                   best_t.edge_len[rows], take),
+                    state=plant(cur_t.state, best_t.state[rows]),
+                    S=plant(cur_t.S, best_t.S[rows]),
+                    K=plant(cur_t.K, best_t.K[rows]),
+                    parent=plant(cur_t.parent, lin_parent),
+                    edge_x=plant_tm(cur_t.edge_x, best_t.edge_x[:, :, rows]),
+                    edge_u=plant_tm(cur_t.edge_u, best_t.edge_u[:, :, rows]),
+                    edge_len=plant(cur_t.edge_len, best_t.edge_len[rows]),
                     node_time=plant(cur_t.node_time,
-                                    best_t.node_time[rows], take),
-                    in_goal=plant(cur_t.in_goal,
-                                  best_t.in_goal[rows], take),
+                                    best_t.node_time[rows]),
+                    in_goal=plant(cur_t.in_goal, best_t.in_goal[rows]),
                     goal_cost=plant(cur_t.goal_cost,
-                                    best_t.goal_cost[rows], take),
+                                    best_t.goal_cost[rows]),
                     n_children=jnp.zeros_like(cur_t.n_children).at[:DP].set(
-                        jnp.where(take, n_child_pl, 0)),
-                    size=jnp.where(do_plant,
-                                   jnp.minimum(L, DP).astype(jnp.int32),
-                                   1).astype(jnp.int32),
-                    goal_found=(cur_t.in_goal[0]
+                        n_child_pl),
+                    size=jnp.maximum(
+                        seed_size,
+                        jnp.where(do_plant, jnp.minimum(L, DP),
+                                  1)).astype(jnp.int32),
+                    goal_found=(best_t.in_goal[0]
                                 | jnp.any(take & best_t.in_goal[rows])),
                 )
                 return (cur_t, best_t, pool_c, new_sc), None
@@ -977,7 +996,8 @@ class Planner:
                 g0 = e0 @ S0 @ e0
                 return init_tree(self.capacity, self.horizon_steps,
                                  self.nstates, self.ncontrols, x0, S0, K0,
-                                 g0, in_goal0, slack=self.slack)
+                                 g0, in_goal0, slack=self.slack,
+                                 root_pad=self.root_pad)
             self._seed_tree_jit = jax.jit(seed_tree)
         return self._seed_tree_jit
 

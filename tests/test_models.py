@@ -111,3 +111,27 @@ def test_boat_grid_obstacle_model_matches_circles():
     for p in probes_hit:
         assert not bool(circ["constraints"].is_feasible(jnp.asarray(p), u))
         assert not bool(grid["constraints"].is_feasible(jnp.asarray(p), u))
+
+
+def test_boat_hard_problem_geometry():
+    """The two-wall anytime-quality instance (QUALITY_r05.json): straight
+    line blocked by both walls; the offset openings are feasible."""
+    prob = boat.hard_problem()
+    feas = prob["constraints"].is_feasible
+    u = jnp.zeros(3)
+
+    def free(x, y):
+        return bool(feas(jnp.asarray([x, y, 0, 0, 0, 0], jnp.float32), u))
+
+    # straight line hits both walls
+    assert not free(18.0, 0.0)
+    assert not free(36.0, 0.0)
+    # wall 1 passable above, wall 2 below
+    assert free(18.0, 9.0)
+    assert free(36.0, -9.0)
+    # and each wall blocks its other side
+    assert not free(18.0, -9.0)
+    assert not free(36.0, 9.0)
+    # start and goal are free
+    assert free(float(prob["x0"][0]), float(prob["x0"][1]))
+    assert free(float(prob["goal"][0]), float(prob["goal"][1]))
