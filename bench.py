@@ -99,19 +99,25 @@ def bench_tpu(prob, budget_s=1.0, batch=8192, capacity=32768, repeats=3):
     log(f"tpu p50 replan latency (goal-biased, [0.5,1]s budget): "
         f"{np.median(glats):.3f}s")
 
-    # plan quality vs anytime budget (fixed seed): once the tree saturates
-    # capacity, anytime restarts (stash best tree, reseed, keep growing)
-    # must keep buying quality — the 1.0 s plan must be STRICTLY shorter
-    # than the 0.2 s plan (VERDICT round 2 item 1; SURVEY.md C2)
+    # plan quality vs anytime budget: anytime restarts (stash best tree,
+    # reseed with chain planting, keep growing) must keep buying quality —
+    # the 1.0 s plans must be strictly shorter than the 0.2 s plans ON
+    # AVERAGE over fixed seeds (VERDICT round 2 item 1; SURVEY.md C2).
+    # Round 5: 3-seed means — the flagship instance saturates within ~1% of
+    # its 16.75 s floor (QUALITY_r05.json), so a single-seed strict
+    # comparison flips sign on noise once a 0.2 s run lands on the floor.
     durs = {}
     for budget in (0.2, 1.0):
-        planner._key = __import__("jax").random.PRNGKey(777)
-        planner.update_plan(prob["x0"], prob["sample_space"],
-                            goal_bias=[0.3, 0.3, 0, 0, 0, 0],
-                            specific_time=budget, pruning=True)
-        durs[budget] = float(planner.T)
-        log(f"  plan quality: budget {budget}s -> duration {planner.T:.2f}s "
-            f"(restarts={planner.stats['restarts']})")
+        vals = []
+        for seed in (777, 101, 202):
+            planner._key = __import__("jax").random.PRNGKey(seed)
+            planner.update_plan(prob["x0"], prob["sample_space"],
+                                goal_bias=[0.3, 0.3, 0, 0, 0, 0],
+                                specific_time=budget, pruning=True)
+            vals.append(float(planner.T))
+        durs[budget] = round(float(np.mean(vals)), 3)
+        log(f"  plan quality: budget {budget}s -> durations {vals} "
+            f"(mean {durs[budget]:.2f}s)")
     return float(np.median(eps)), float(np.median(glats)), durs
 
 

@@ -847,9 +847,19 @@ class Planner:
                 deeper = (L == DP) & (best_t.parent[rev[DP - 1]] >= 0)
                 do_plant = (jnp.logical_not(deeper)
                             & (no_goal_ever | (gcyc % 2 == 1)))
-                idx = jnp.clip(L - 1 - jnp.arange(DP), 0, DP - 1)
-                rows = jnp.maximum(rev[idx], 0)    # root-first prefix ids
-                valid = jnp.arange(DP) < L
+                # Post-goal planted cycles alternate FULL-chain plants
+                # (start goal-complete; refine arrivals along the chain)
+                # with HALF-chain plants (keep the root-first half, force
+                # the tail homotopy to be re-discovered) — full-chain-only
+                # planting froze deep instances at their first arrival
+                # because tail candidates rarely beat the incumbent
+                # arrival, while the half plant leaves F generations of
+                # genuinely open tail.
+                Lp = jnp.where(no_goal_ever | (gcyc % 4 == 1), L,
+                               jnp.maximum((L + 1) // 2, 1))
+                idx = jnp.clip(Lp - 1 - jnp.arange(DP), 0, DP - 1)
+                rows = jnp.maximum(rev[idx + (L - Lp)], 0)  # root-first ids
+                valid = jnp.arange(DP) < Lp
                 take = do_plant & valid            # (DP,) plant mask
                 # Rows NOT taken are written as copies of best_t's row 0 —
                 # the root, which is identical in cur/best (seeded from the
@@ -874,7 +884,7 @@ class Planner:
 
                 lin_parent = jnp.where(
                     take, jnp.arange(DP, dtype=jnp.int32) - 1, -1)
-                n_child_pl = jnp.where(take & (jnp.arange(DP) < L - 1),
+                n_child_pl = jnp.where(take & (jnp.arange(DP) < Lp - 1),
                                        1, 0).astype(jnp.int32)
                 seed_size = jnp.asarray(max(self.root_pad, 1), jnp.int32)
                 cur_t = cur_t._replace(
@@ -894,7 +904,7 @@ class Planner:
                         n_child_pl),
                     size=jnp.maximum(
                         seed_size,
-                        jnp.where(do_plant, jnp.minimum(L, DP),
+                        jnp.where(do_plant, jnp.minimum(Lp, DP),
                                   1)).astype(jnp.int32),
                     goal_found=(best_t.in_goal[0]
                                 | jnp.any(take & best_t.in_goal[rows])),
